@@ -1,0 +1,88 @@
+"""Bridge to the native C++ BVH builder (accel/native/bvh_builder.cpp).
+
+The reference's hot init path is a single-core SSE binned-SAH build that does
+2M triangles in <700ms (README.md:199-211, src/bvhBuilder.h:35-274). The
+numpy fallback in bvh.py is fine for small models; this module loads a C++
+implementation of the same algorithm via ctypes for big scenes. Built with
+``make -C cuda_pathtracer_tpu/accel/native`` (done automatically on first use
+when a compiler is present).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, 'native', 'libbvh.so')
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        src = os.path.join(_HERE, 'native', 'bvh_builder.cpp')
+        if os.path.exists(src):
+            try:
+                subprocess.run(['make', '-C', os.path.join(_HERE, 'native')],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.exists(_SO_PATH):
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.build_bvh_binned.restype = ctypes.c_int64
+    lib.build_bvh_binned.argtypes = [
+        ctypes.c_int64,                   # n triangles
+        ctypes.POINTER(ctypes.c_float),   # v0 [n,3]
+        ctypes.POINTER(ctypes.c_float),   # v1
+        ctypes.POINTER(ctypes.c_float),   # v2
+        ctypes.POINTER(ctypes.c_float),   # out vmin [2n-1,3]
+        ctypes.POINTER(ctypes.c_float),   # out vmax
+        ctypes.POINTER(ctypes.c_int32),   # out left
+        ctypes.POINTER(ctypes.c_int32),   # out leaf_start
+        ctypes.POINTER(ctypes.c_int32),   # out leaf_count
+        ctypes.POINTER(ctypes.c_int32),   # out perm [n]
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    from .bvh import BVHNodes
+    lib = _load()
+    assert lib is not None
+    n = len(v0)
+    max_nodes = max(2 * n - 1, 1)
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    vmin = np.empty((max_nodes, 3), np.float32)
+    vmax = np.empty((max_nodes, 3), np.float32)
+    left = np.empty(max_nodes, np.int32)
+    leaf_start = np.empty(max_nodes, np.int32)
+    leaf_count = np.empty(max_nodes, np.int32)
+    perm = np.empty(n, np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    count = lib.build_bvh_binned(
+        n,
+        v0.ctypes.data_as(fp), v1.ctypes.data_as(fp), v2.ctypes.data_as(fp),
+        vmin.ctypes.data_as(fp), vmax.ctypes.data_as(fp),
+        left.ctypes.data_as(ip),
+        leaf_start.ctypes.data_as(ip), leaf_count.ctypes.data_as(ip),
+        perm.ctypes.data_as(ip))
+    c = int(count)
+    return BVHNodes(vmin[:c], vmax[:c], left[:c],
+                    leaf_start[:c], leaf_count[:c], perm)

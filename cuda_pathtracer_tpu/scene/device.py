@@ -1,0 +1,96 @@
+"""Device-side scene representation (the TPU SceneBuffers).
+
+Equivalent of the reference's SceneBuffers (src/types.h:689-703) plus the
+device constants DTriangleLights / skydome / blue noise that the reference
+keeps in __constant__ memory or texture objects (src/globals.h:8-28,
+src/pathtracer.h:73-222). Split into:
+
+  * SceneArrays  — static for a scene's lifetime (uploaded once, like the
+    cudaMemcpy block in Pathtracer::Init, src/pathtracer.h:129-221)
+  * DynamicArrays — instance transforms + the merged world BVH, refreshed when
+    the scene is invalidated (mirroring the per-clear instance/top-BVH upload
+    at src/pathtracer.h:245-246)
+
+Everything is an SoA jnp array; the whole thing is a pytree, so it flows
+through jit/shard_map unchanged and shards trivially (replicated) over a mesh.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .textures import TextureStack
+from ..ops.traverse import WorldArrays
+
+
+class SceneArrays(NamedTuple):
+    # triangle attributes, in global model-space order (TriangleD, types.h:85-96)
+    tri_normal: jnp.ndarray      # f32[T, 3]
+    tri_tangent: jnp.ndarray     # f32[T, 3]
+    tri_bitangent: jnp.ndarray   # f32[T, 3]
+    tri_uv: jnp.ndarray          # f32[T, 6] uv0|uv1|uv2
+    tri_mat: jnp.ndarray         # i32[T]
+
+    # material table (Material, types.h:33-56)
+    mat_diffuse: jnp.ndarray     # f32[M, 3]
+    mat_specular: jnp.ndarray    # f32[M, 3]
+    mat_emission: jnp.ndarray    # f32[M, 3]
+    mat_reflect: jnp.ndarray     # f32[M]
+    mat_glossy: jnp.ndarray      # f32[M]
+    mat_transmit: jnp.ndarray    # f32[M]
+    mat_ior: jnp.ndarray         # f32[M]
+    mat_absorption: jnp.ndarray  # f32[M, 3]
+    mat_tex: jnp.ndarray         # i32[M]  (-1 = none)
+    mat_normal_tex: jnp.ndarray  # i32[M]  (-1 = none)
+
+    textures: TextureStack
+
+    # analytic primitives
+    sphere_pos: jnp.ndarray      # f32[S, 3]
+    sphere_radius: jnp.ndarray   # f32[S]
+    sphere_mat: jnp.ndarray      # i32[S]
+    plane_normal: jnp.ndarray    # f32[P, 3]
+    plane_d: jnp.ndarray         # f32[P]
+    plane_mat: jnp.ndarray       # i32[P]
+
+    # lights
+    point_light_pos: jnp.ndarray    # f32[L, 3]
+    point_light_color: jnp.ndarray  # f32[L, 3]
+    light_tri: jnp.ndarray          # i32[TL] global triangle id (emissive)
+    light_inst: jnp.ndarray         # i32[TL] owning instance
+
+    # environment
+    sky_img: jnp.ndarray         # f32[Hs, Ws, 3] equirect, bottom-row-first
+    blue_noise: jnp.ndarray      # f32[Hb, Wb]
+
+    # path guiding radiance cache (RadianceCache, types.h:98-104); mutable —
+    # threaded through the render step functionally
+    # (kept in DynamicArrays? no: per-triangle, static shape) ->
+    # stored separately in the engine state.
+
+
+class DynamicArrays(NamedTuple):
+    world: WorldArrays
+    inst_transform: jnp.ndarray  # f32[I, 3, 4]
+    inst_inv: jnp.ndarray        # f32[I, 3, 4]
+    inst_mat: jnp.ndarray        # i32[I] material override (-1 = none)
+
+
+def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):
+    """Triangle material with instance override
+    (getColliderMaterialID, src/kernels.h:88-99)."""
+    override = dyn.inst_mat[inst]
+    return jnp.where(override >= 0, override, scene.tri_mat[gid])
+
+
+def empty_like_lights():
+    return (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32))
+
+
+def pack_instances(transforms: np.ndarray, inverses: np.ndarray,
+                   overrides: np.ndarray) -> tuple:
+    return (jnp.asarray(transforms, jnp.float32),
+            jnp.asarray(inverses, jnp.float32),
+            jnp.asarray(overrides, jnp.int32))

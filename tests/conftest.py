@@ -1,0 +1,31 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require real TPU hardware: JAX runs on CPU with
+xla_force_host_platform_device_count=8 so the multi-chip sharding paths are
+exercised on a virtual mesh (this is the strategy SURVEY.md §4 prescribes as
+the "fake backend").
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = '/root/reference'
+
+
+@pytest.fixture(scope='session')
+def reference_assets():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip('reference assets not available')
+    return REFERENCE_DIR
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(0)
