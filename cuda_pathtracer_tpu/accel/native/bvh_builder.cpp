@@ -1,0 +1,184 @@
+// Native binned-SAH BVH builder.
+//
+// C++ implementation of the same algorithm as ../bvh.py (Wald 2007 binned
+// SAH, K=16 bins, leaf cutoff <=4, forward-assigned child boxes from scanned
+// bins) — the equivalent of the reference's createBVHBinned
+// (reference: src/bvhBuilder.h:35-274), written fresh with SSE-free portable
+// vector code (the compiler autovectorizes the min/max scans).
+//
+// Exposed via a C ABI for ctypes (see ../native.py). Build: `make` here.
+//
+// Output layout matches accel.bvh.BVHNodes: vmin/vmax [N,3] float32,
+// left/leaf_start/leaf_count int32 (leaf_count > 0 marks a leaf), plus the
+// triangle permutation applied by the build.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <limits>
+
+namespace {
+
+constexpr int K = 16;
+constexpr int LEAF_SIZE = 4;
+constexpr float FEPS = 1e-3f;
+
+struct V3 {
+    float x, y, z;
+    V3 mins(const V3& o) const { return {std::min(x, o.x), std::min(y, o.y), std::min(z, o.z)}; }
+    V3 maxs(const V3& o) const { return {std::max(x, o.x), std::max(y, o.y), std::max(z, o.z)}; }
+    float operator[](int i) const { return i == 0 ? x : (i == 1 ? y : z); }
+};
+
+struct Box {
+    V3 lo, hi;
+    static Box insideOut() {
+        constexpr float inf = std::numeric_limits<float>::infinity();
+        return {{inf, inf, inf}, {-inf, -inf, -inf}};
+    }
+    void grow(const Box& b) { lo = lo.mins(b.lo); hi = hi.maxs(b.hi); }
+    float area() const {
+        float dx = std::max(hi.x - lo.x, 0.0f);
+        float dy = std::max(hi.y - lo.y, 0.0f);
+        float dz = std::max(hi.z - lo.z, 0.0f);
+        return 2.0f * (dx * dy + dx * dz + dy * dz);
+    }
+};
+
+struct WorkItem { int64_t node, start, count; };
+
+}  // namespace
+
+extern "C" int64_t build_bvh_binned(
+    int64_t n,
+    const float* v0, const float* v1, const float* v2,
+    float* out_vmin, float* out_vmax,
+    int32_t* out_left, int32_t* out_leaf_start, int32_t* out_leaf_count,
+    int32_t* out_perm) {
+    if (n <= 0) return 0;
+
+    std::vector<Box> tri_box(n);
+    std::vector<V3> centroid(n);
+    Box root = Box::insideOut();
+    for (int64_t i = 0; i < n; i++) {
+        V3 a{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2]};
+        V3 b{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2]};
+        V3 c{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2]};
+        tri_box[i] = {a.mins(b).mins(c), a.maxs(b).maxs(c)};
+        centroid[i] = {0.333333f * (a.x + b.x + c.x),
+                       0.333333f * (a.y + b.y + c.y),
+                       0.333333f * (a.z + b.z + c.z)};
+        root.grow(tri_box[i]);
+        out_perm[i] = (int32_t)i;
+    }
+
+    auto set_box = [&](int64_t idx, const Box& b) {
+        out_vmin[3 * idx] = b.lo.x; out_vmin[3 * idx + 1] = b.lo.y; out_vmin[3 * idx + 2] = b.lo.z;
+        out_vmax[3 * idx] = b.hi.x; out_vmax[3 * idx + 1] = b.hi.y; out_vmax[3 * idx + 2] = b.hi.z;
+    };
+    auto make_leaf = [&](int64_t idx, int64_t start, int64_t count) {
+        out_leaf_start[idx] = (int32_t)start;
+        out_leaf_count[idx] = (int32_t)count;
+        out_left[idx] = 0;
+    };
+
+    set_box(0, root);
+    int64_t node_count = 1;
+
+    std::vector<WorkItem> stack;
+    stack.reserve(256);
+    stack.push_back({0, 0, n});
+
+    std::vector<int8_t> bin_id(n);
+
+    while (!stack.empty()) {
+        WorkItem w = stack.back();
+        stack.pop_back();
+        const int64_t idx = w.node, start = w.start, count = w.count;
+
+        if (count <= LEAF_SIZE) { make_leaf(idx, start, count); continue; }
+
+        // dominant centroid axis
+        Box cen = Box::insideOut();
+        for (int64_t i = start; i < start + count; i++) {
+            const V3& c = centroid[out_perm[i]];
+            cen.lo = cen.lo.mins(c);
+            cen.hi = cen.hi.maxs(c);
+        }
+        V3 ext{cen.hi.x - cen.lo.x, cen.hi.y - cen.lo.y, cen.hi.z - cen.lo.z};
+        int axis = 2;
+        if (ext.x > ext.y && ext.x > ext.z) axis = 0;
+        else if (ext.y > ext.x && ext.y > ext.z) axis = 1;
+        const float bmin = cen.lo[axis], bmax = cen.hi[axis];
+        if (bmax - bmin < K * FEPS) { make_leaf(idx, start, count); continue; }
+
+        // bin
+        Box bins[K];
+        int64_t bin_counts[K] = {0};
+        for (int k = 0; k < K; k++) bins[k] = Box::insideOut();
+        const float bin_fac = K * (1.0f - FEPS) / (bmax - bmin);
+        for (int64_t i = start; i < start + count; i++) {
+            const int32_t t = out_perm[i];
+            int b = (int)((centroid[t][axis] - bmin) * bin_fac);
+            if (b < 0) b = 0; if (b >= K) b = K - 1;
+            bin_id[t] = (int8_t)b;
+            bin_counts[b]++;
+            bins[b].grow(tri_box[t]);
+        }
+
+        // prefix/suffix scans (left exclusive, right inclusive)
+        Box parent_box;
+        {
+            const float* mn = out_vmin + 3 * idx;
+            const float* mx = out_vmax + 3 * idx;
+            parent_box = {{mn[0], mn[1], mn[2]}, {mx[0], mx[1], mx[2]}};
+        }
+        const double inv_parent = 1.0 / std::max((double)parent_box.area(), 1e-30);
+
+        double left_cost[K], right_cost[K];
+        Box left_scan[K], right_scan[K];
+        Box lb = Box::insideOut(), rb = Box::insideOut();
+        int64_t lc = 0, rc = 0;
+        for (int k = 0; k < K; k++) {
+            left_cost[k] = lc ? lc * lb.area() * inv_parent : 0.0;
+            left_scan[k] = lb;
+            lb.grow(bins[k]);
+            lc += bin_counts[k];
+            rb.grow(bins[K - k - 1]);
+            rc += bin_counts[K - k - 1];
+            right_cost[K - k - 1] = rc * rb.area() * inv_parent;
+            right_scan[K - k - 1] = rb;
+        }
+
+        double min_sah = (double)count;
+        int min_k = -1;
+        for (int k = 0; k < K; k++) {
+            double sah = left_cost[k] + right_cost[k] + FEPS;
+            if (sah < min_sah) { min_sah = sah; min_k = k; }
+        }
+        if (min_k <= 0) { make_leaf(idx, start, count); continue; }
+
+        // in-place partition of the permutation slice
+        int64_t l = start, r = start + count - 1;
+        while (l <= r) {
+            if (bin_id[out_perm[l]] < min_k) { l++; continue; }
+            if (bin_id[out_perm[r]] >= min_k) { r--; continue; }
+            std::swap(out_perm[l], out_perm[r]);
+        }
+        const int64_t lcnt = l - start;
+        if (lcnt == 0 || lcnt == count) { make_leaf(idx, start, count); continue; }
+
+        const int64_t c1 = node_count++, c2 = node_count++;
+        set_box(c1, left_scan[min_k]);
+        set_box(c2, right_scan[min_k]);
+        out_left[idx] = (int32_t)c1;
+        out_leaf_count[idx] = 0;
+        out_leaf_start[idx] = 0;
+        stack.push_back({c2, start + lcnt, count - lcnt});
+        stack.push_back({c1, start, lcnt});
+    }
+
+    return node_count;
+}

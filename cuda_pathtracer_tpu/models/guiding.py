@@ -1,0 +1,106 @@
+"""Path guiding: the 8-bucket per-triangle radiance cache.
+
+TPU-native replacement for the atomicAdd update/propagate kernels
+(kernel_update_buckets / kernel_propagate_buckets, src/kernels.h:848-905):
+the per-(triangle, bucket) scatter-add becomes one `segment_sum` keyed by
+triangle_id * 8 + bucket, and the EMA propagate is a pure elementwise op —
+no concurrency control needed at all (the reference needed a dedicated
+per-triangle kernel to avoid it, README.md:91-92).
+
+Semantics preserved: energy = min(100, luminance(totalEnergy / cum_mask)),
+EMA alpha = 0.95, clamp to [0.1, 2.0], radianceTotal tracks the bucket sum,
+initial value 0.1 per bucket (kernel_init_radiance_cache, kernels.h:848-861).
+A TERMINATE entry stops a pixel's chain; IGNORE skips a bounce but continues
+(kernel_update_buckets, kernels.h:870-880).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..constants import EPS, GUIDE_BUCKETS, MAX_CACHE_DEPTH
+
+# sample-cache entry types (SAMPLE_TYPE, src/types.h:337)
+SAMPLE_IGNORE = 0
+SAMPLE_TERMINATE = 1
+SAMPLE_BUCKET = 2
+
+ALPHA = 0.95
+ENERGY_CLAMP = 100.0
+VALUE_MIN = 0.1
+VALUE_MAX = 2.0
+
+
+class RadianceState(NamedTuple):
+    cache: jnp.ndarray  # f32[T, 8]
+    total: jnp.ndarray  # f32[T]
+
+
+def init_radiance_state(num_triangles: int) -> RadianceState:
+    cache = jnp.full((num_triangles, GUIDE_BUCKETS), VALUE_MIN, jnp.float32)
+    return RadianceState(cache, jnp.full((num_triangles,),
+                                         GUIDE_BUCKETS * VALUE_MIN, jnp.float32))
+
+
+class SampleCache(NamedTuple):
+    """Per-bounce guiding records for the first MAX_CACHE_DEPTH bounces
+    (SampleCache, src/types.h:339-345), SoA over [depth, lanes]."""
+    stype: jnp.ndarray     # i32[D, B]
+    tri: jnp.ndarray       # i32[D, B] global triangle id
+    bucket: jnp.ndarray    # i32[D, B]
+    cum_mask: jnp.ndarray  # f32[D, B, 3]
+
+    @staticmethod
+    def empty(n_lanes: int) -> 'SampleCache':
+        d = MAX_CACHE_DEPTH
+        return SampleCache(
+            jnp.full((d, n_lanes), SAMPLE_TERMINATE, jnp.int32),
+            jnp.zeros((d, n_lanes), jnp.int32),
+            jnp.zeros((d, n_lanes), jnp.int32),
+            jnp.ones((d, n_lanes, 3), jnp.float32))
+
+
+def update_radiance_state(state: RadianceState, cache: SampleCache,
+                          total_energy: jnp.ndarray,
+                          enabled) -> RadianceState:
+    """One guiding step = update buckets + propagate, fused.
+
+    total_energy: f32[B, 3] — the pixel's accumulated color this sample.
+    enabled: bool scalar (traced) — gates the whole update (the reference gates
+    on converge-mode + sampleIdx < 100, src/pathtracer.h:292-296).
+    """
+    n_tris = state.cache.shape[0]
+
+    # a bounce entry contributes iff it is BUCKET and no TERMINATE precedes it
+    terminated_before = jnp.cumsum(
+        (cache.stype == SAMPLE_TERMINATE).astype(jnp.int32), axis=0)
+    # shift: TERMINATE at depth d stops processing at d itself
+    alive_chain = terminated_before - (cache.stype == SAMPLE_TERMINATE)
+    valid = (cache.stype == SAMPLE_BUCKET) & (alive_chain == 0)
+
+    energy = jnp.minimum(
+        ENERGY_CLAMP,
+        vm.luminance(total_energy[None, :, :] / cache.cum_mask))
+    energy = jnp.where(valid, energy, 0.0)
+    weight = valid.astype(jnp.float32)
+
+    seg = (cache.tri * GUIDE_BUCKETS + cache.bucket).reshape(-1)
+    seg = jnp.where(valid.reshape(-1), seg, n_tris * GUIDE_BUCKETS)  # spill bin
+    sums = jax.ops.segment_sum(energy.reshape(-1), seg,
+                               num_segments=n_tris * GUIDE_BUCKETS + 1)
+    counts = jax.ops.segment_sum(weight.reshape(-1), seg,
+                                 num_segments=n_tris * GUIDE_BUCKETS + 1)
+    add_sum = sums[:-1].reshape(n_tris, GUIDE_BUCKETS)
+    add_count = counts[:-1].reshape(n_tris, GUIDE_BUCKETS)
+
+    # propagate (kernel_propagate_buckets, kernels.h:884-905)
+    has = add_count >= EPS
+    incoming = add_sum / jnp.maximum(add_count, 1.0)
+    new_vals = jnp.clip(ALPHA * state.cache + (1.0 - ALPHA) * incoming,
+                        VALUE_MIN, VALUE_MAX)
+    new_cache = jnp.where(has & enabled, new_vals, state.cache)
+    new_total = state.total + jnp.sum(new_cache - state.cache, axis=-1)
+    return RadianceState(new_cache, new_total)

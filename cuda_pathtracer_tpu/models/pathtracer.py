@@ -1,0 +1,194 @@
+"""The wavefront path-tracing engine.
+
+TPU-native counterpart of the reference Pathtracer (src/pathtracer.h:46-311):
+one jitted `render_sample` runs the whole generate → extend → shade → connect
+wavefront for a sample, with the bounce loop as a `lax.while_loop` carrying
+fixed-shape SoA state (alive masks instead of AtomicQueues), followed by the
+fused guiding update and framebuffer accumulation. The host loop only decides
+sample counts and toggles, mirroring Pathtracer::Render's orchestration
+(src/pathtracer.h:224-302).
+
+Design notes (TPU-first):
+  * everything is pixel-indexed and statically shaped — XLA compiles exactly
+    one program per (resolution, toggle set); camera motion, sample index and
+    rand counters are traced scalars, so interaction never recompiles;
+  * the per-bounce early exit is the while_loop predicate any(alive), the
+    moral equivalent of the wavefront queues shrinking to empty;
+  * the RNG is derived from pixel coordinates (core/rng.py), which makes
+    multi-chip pixel sharding bit-identical to single-chip rendering.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import film
+from .guiding import (RadianceState, SampleCache, init_radiance_state,
+                      update_radiance_state)
+from .shading import TraceState, shade, connect
+from ..core import camera as cam_mod
+from ..core import rng as _rng
+from ..ops.traverse import traverse
+from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH
+
+
+class _BounceCarry(NamedTuple):
+    bounce: jnp.ndarray
+    ro: jnp.ndarray
+    rd: jnp.ndarray
+    alive: jnp.ndarray
+    state: TraceState
+    cache: SampleCache
+    rand_idx: jnp.ndarray
+    albedo_add: jnp.ndarray
+    albedo_inc: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
+                                   'width', 'height'))
+def render_sample(scene, dyn, camera, radiance: RadianceState,
+                  lum, alb, sample_idx, rand_idx, guide_enabled,
+                  *, nee: bool, cache_on: bool, max_bounces: int,
+                  width: int, height: int):
+    """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
+
+    Mirrors one iteration of the sample loop in Pathtracer::Render
+    (src/pathtracer.h:255-301)."""
+    B = width * height
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    xs = lanes % width
+    ys = lanes // width
+
+    # generate primary rays (kernel_generate_primary_rays, kernels.h:493-501;
+    # camera jitter uses the raw xorshift stream, types.h:641-658)
+    seeds = _rng.get_seed(xs, ys, rand_idx, width)
+    ro, rd, _ = cam_mod.generate_rays(camera, xs, ys, seeds, width, height)
+    rand_idx = rand_idx + jnp.uint32(1)
+
+    state0 = TraceState.clear(B)
+    carry = _BounceCarry(
+        bounce=jnp.asarray(0, jnp.int32),
+        ro=ro, rd=rd,
+        alive=jnp.ones(B, bool),
+        state=state0,
+        cache=SampleCache.empty(B),
+        rand_idx=rand_idx,
+        albedo_add=jnp.zeros((B, 3), jnp.float32),
+        albedo_inc=jnp.zeros(B, jnp.float32))
+
+    def cond(c: _BounceCarry):
+        return (c.bounce < max_bounces) & jnp.any(c.alive)
+
+    def body(c: _BounceCarry):
+        hit = traverse(scene, dyn.world, c.ro, c.rd, active=c.alive)
+        out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
+                    xs, ys, c.rand_idx, sample_idx, c.bounce,
+                    nee, cache_on, radiance, width)
+        rand_idx2 = c.rand_idx + jnp.uint32(1)
+        st = connect(scene, dyn, out) if nee else out.state
+
+        # sample-cache write for bounce < MAX_CACHE_DEPTH (kernels.h:536,795)
+        w = jnp.minimum(c.bounce, MAX_CACHE_DEPTH - 1)
+        in_depth = c.bounce < MAX_CACHE_DEPTH
+
+        def upd(buf, val):
+            new = jax.lax.dynamic_update_index_in_dim(buf, val, w, 0)
+            return jnp.where(in_depth, new, buf)
+
+        cache = SampleCache(
+            stype=upd(c.cache.stype, out.cache_stype),
+            tri=upd(c.cache.tri, out.cache_tri),
+            bucket=upd(c.cache.bucket, out.cache_bucket),
+            cum_mask=upd(c.cache.cum_mask, out.cache_cum_mask))
+
+        return _BounceCarry(
+            bounce=c.bounce + 1,
+            ro=out.ray_o, rd=out.ray_d, alive=out.alive,
+            state=st, cache=cache, rand_idx=rand_idx2,
+            albedo_add=c.albedo_add + out.albedo_add,
+            albedo_inc=c.albedo_inc + out.albedo_inc)
+
+    final = jax.lax.while_loop(cond, body, carry)
+
+    # guiding update (src/pathtracer.h:292-296)
+    radiance2 = update_radiance_state(radiance, final.cache,
+                                      final.state.accucolor, guide_enabled)
+
+    lum2 = film.accumulate(lum, final.state.accucolor)
+    alb2 = film.accumulate_albedo(alb, final.albedo_add, final.albedo_inc)
+    # host randIdx advanced once per bounce + once for generate; return the
+    # loop's final value so the next sample continues the stream
+    return lum2, alb2, radiance2, final.rand_idx
+
+
+class Pathtracer:
+    """Progressive interactive renderer (the Application subclass,
+    src/pathtracer.h:46-71). Host-side state machine; all compute is jitted.
+    """
+
+    def __init__(self, scene, width: int = 640, height: int = 480,
+                 skydome: str | None = None, blue_noise: str | None = None):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.nee = True        # HNEE (src/pathtracer.h:213)
+        self.cache = True      # HCACHE
+        self.arrays = scene.to_device(skydome=skydome, blue_noise=blue_noise)
+        self.dyn = scene.dynamic_arrays()
+        n_tris = int(self.arrays.tri_mat.shape[0])
+        self.radiance = init_radiance_state(n_tris)
+        self.lum, self.alb = film.clear_accumulators(width * height)
+        self.sample_idx = 0
+        self.rand_idx = 0
+
+    def init(self):  # API parity with Application::Init
+        pass
+
+    def render(self, camera, current_time: float = 0.0,
+               frame_time: float = 0.0, should_clear: bool = False):
+        """One display frame (Pathtracer::Render, src/pathtracer.h:224-302)."""
+        if should_clear:
+            self.dyn = self.scene.dynamic_arrays()
+            self.lum, self.alb = film.clear_accumulators(self.width * self.height)
+            self.sample_idx = 0
+            self.rand_idx = 0
+
+        n_samples = self.scene.interactive_depth if should_clear else 1
+        if self.nee:
+            max_bounces = self.scene.interactive_depth if should_clear else MAX_RAY_DEPTH
+        else:
+            max_bounces = (self.scene.interactive_depth + 1) if should_clear \
+                else MAX_RAY_DEPTH
+
+        for _ in range(n_samples):
+            guide = jnp.asarray((not should_clear) and self.cache
+                                and self.sample_idx < 100)
+            self.lum, self.alb, self.radiance, ridx = render_sample(
+                self.arrays, self.dyn, camera, self.radiance,
+                self.lum, self.alb,
+                jnp.asarray(self.sample_idx, jnp.uint32),
+                jnp.asarray(self.rand_idx, jnp.uint32),
+                guide,
+                nee=self.nee, cache_on=self.cache,
+                max_bounces=max_bounces,
+                width=self.width, height=self.height)
+            self.rand_idx = int(ridx)
+            self.sample_idx += 1
+
+    def finish(self):
+        """Application::Finish — device sync (src/pathtracer.h:305-310)."""
+        self.lum.block_until_ready()
+
+    # ---- output helpers ----
+
+    def image(self, blur: bool = False):
+        return film.display(self.lum, self.alb, float(self.sample_idx),
+                            self.width, self.height, blur=blur)
+
+    def energy(self):
+        total, has_nan, has_neg = film.energy_audit(self.lum)
+        return float(total), bool(has_nan), bool(has_neg)

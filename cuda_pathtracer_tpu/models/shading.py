@@ -1,0 +1,407 @@
+"""Wavefront shading: the vectorized material/NEE/bounce stage.
+
+Behavioral mirror of kernel_shade + kernel_connect (src/kernels.h:513-810),
+restructured for TPU SIMT-by-select execution: every lane computes every
+branch and the results are merged with masks, while the per-lane RNG stream is
+advanced only at the draw sites the reference would actually execute on that
+lane (sampling.masked_rand) — so draw sequences match the CUDA threads
+one-to-one.
+
+Ray lanes are pixel-indexed (no compaction): the reference's AtomicQueue push
+of survivors (src/types.h:534-537) becomes an `alive` mask; shadow rays live
+in their own masked lane set, one per pixel, exactly mirroring the
+DShadowRayQueue capacity of NR_PIXELS.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import sampling
+from . import sky as sky_mod
+from .guiding import SAMPLE_IGNORE, SAMPLE_TERMINATE, SAMPLE_BUCKET, RadianceState
+from ..core import rng as _rng
+from ..core import vecmath as vm
+from ..ops import intersect as isect
+from ..ops.traverse import Hit, PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE, traverse
+from ..constants import EPS, PI
+
+
+class TraceState(NamedTuple):
+    """Per-pixel path state (TraceState, src/types.h:461-468)."""
+    mask: jnp.ndarray           # f32[B, 3] throughput
+    accucolor: jnp.ndarray      # f32[B, 3]
+    light: jnp.ndarray          # f32[B, 3] pending NEE contribution
+    from_specular: jnp.ndarray  # bool[B]
+    albedo_set: jnp.ndarray     # bool[B]
+
+    @staticmethod
+    def clear(n: int) -> 'TraceState':
+        """kernel_clear_state (src/kernels.h:485-491): mask=1,
+        fromSpecular=true, accucolor=0, albedoSet=false."""
+        return TraceState(
+            mask=jnp.ones((n, 3), jnp.float32),
+            accucolor=jnp.zeros((n, 3), jnp.float32),
+            light=jnp.zeros((n, 3), jnp.float32),
+            from_specular=jnp.ones(n, bool),
+            albedo_set=jnp.zeros(n, bool))
+
+
+class ShadeOutput(NamedTuple):
+    state: TraceState
+    ray_o: jnp.ndarray          # f32[B, 3] secondary ray
+    ray_d: jnp.ndarray
+    alive: jnp.ndarray          # bool[B]
+    shadow_o: jnp.ndarray       # f32[B, 3]
+    shadow_d: jnp.ndarray
+    shadow_tmax: jnp.ndarray    # f32[B]
+    shadow_active: jnp.ndarray  # bool[B]
+    cache_stype: jnp.ndarray    # i32[B]
+    cache_tri: jnp.ndarray      # i32[B]
+    cache_bucket: jnp.ndarray   # i32[B]
+    cache_cum_mask: jnp.ndarray  # f32[B, 3]
+    albedo_add: jnp.ndarray     # f32[B, 3]
+    albedo_inc: jnp.ndarray     # f32[B] 1.0 where albedo written this bounce
+
+
+def _reflect_ray(rd, normal, pos):
+    """getReflectRay (src/kernels.h:452-456)."""
+    nd = vm.reflect(rd, normal)
+    return pos + EPS * nd, nd
+
+
+def _refract(rd, normal, pos, ior, absorption, inside, t):
+    """getRefractRay (src/kernels.h:458-483). Returns
+    (refract_o, refract_d, reflected_prob, beer). The reference's
+    sinti = sqrt(max(0, 1 - costi - costi)) is reproduced verbatim for parity
+    (it reads like a typo for 1 - costi*costi but is the shipped behavior)."""
+    n1 = jnp.where(inside, ior, 1.0)
+    n2 = jnp.where(inside, 1.0, ior)
+    eta = n1 / jnp.maximum(n2, 1e-9)
+    costi = vm.dot(normal, -rd)
+    k = 1.0 - (eta * eta) * (1.0 - costi * costi)
+    tir = k < 0.0
+    refract_d = eta[..., None] * rd + normal * (
+        eta * costi - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None]
+    refract_d = vm.normalize(refract_d, eps=1e-12)
+
+    sinti = jnp.sqrt(jnp.maximum(0.0, 1.0 - costi - costi))
+    costt = jnp.sqrt(jnp.maximum(1.0 - eta * eta * sinti * sinti, 0.0))
+    spol = (n1 * costi - n2 * costt) / jnp.maximum(n1 * costi + n2 * costt, 1e-9)
+    ppol = (n1 * costt - n2 * costi) / jnp.maximum(n1 * costt + n2 * costi, 1e-9)
+    reflected = jnp.where(tir, 1.0, 0.5 * (spol * spol + ppol * ppol))
+
+    beer = jnp.where(inside[..., None],
+                     jnp.exp(-absorption * t[..., None]), 1.0)
+    return pos + EPS * refract_d, refract_d, reflected, beer
+
+
+def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
+          xs, ys, rand_idx, sample_idx, bounce,
+          nee: bool, cache_on: bool, radiance: RadianceState,
+          width: int) -> ShadeOutput:
+    """One wavefront shade pass. `nee`/`cache_on` are static toggles (the
+    reference's __constant__ DNEE/DCACHE synced per clear, src/globals.h:8-28).
+    `ray_active` marks lanes that had a ray this bounce (the wavefront queue
+    membership); lanes outside it keep their state untouched.
+    """
+    B = ro.shape[0]
+    f3 = lambda m: m[..., None]  # noqa: E731 broadcast helper
+
+    # ---- sky escape (kernels.h:526-537) ----
+    sk = sky_mod.sample_sky(scene.sky_img, rd)
+    missed = ray_active & ~hit.intersected
+    sky_add = state.mask * sk
+    albedo_add = jnp.where(f3(missed & ~state.albedo_set), sky_add, 0.0)
+    albedo_inc = (missed & ~state.albedo_set).astype(jnp.float32)
+    accucolor = state.accucolor + jnp.where(f3(missed), sky_add, 0.0)
+    albedo_set = state.albedo_set | missed
+
+    live = hit.intersected  # lanes still shading
+
+    # ---- per-bounce RNG (kernels.h:540-542) ----
+    bw = scene.blue_noise.shape[1]
+    bh = scene.blue_noise.shape[0]
+    bn_sample = scene.blue_noise[ys % bh, xs % bw]
+    rand_state = _rng.RandState(
+        seed=_rng.get_seed(xs, ys, rand_idx, width),
+        bn_sample=bn_sample,
+        bn_idx=jnp.full((B,), rand_idx, jnp.uint32),
+        sample_idx=jnp.asarray(sample_idx, jnp.uint32))
+
+    # ---- hit decode ----
+    pid = jnp.maximum(hit.prim_id, 0)
+    gid = jnp.maximum(dyn.world.tri_gid[pid], 0)
+    inst = jnp.maximum(dyn.world.tri_inst[pid], 0)
+    is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
+    is_sphere = live & (hit.prim_type == PRIM_SPHERE)
+    is_plane = live & (hit.prim_type == PRIM_PLANE)
+
+    pos = ro + f3(hit.t) * rd
+
+    # material id with instance override (getColliderMaterialID, kernels.h:88-99)
+    n_sph = scene.sphere_mat.shape[0]
+    n_pla = scene.plane_mat.shape[0]
+    override = dyn.inst_mat[inst]
+    tri_mid = jnp.where(override >= 0, override, scene.tri_mat[gid])
+    mid = tri_mid
+    if n_sph:
+        mid = jnp.where(is_sphere, scene.sphere_mat[jnp.clip(pid, 0, n_sph - 1)], mid)
+    if n_pla:
+        mid = jnp.where(is_plane, scene.plane_mat[jnp.clip(pid, 0, n_pla - 1)], mid)
+    mid = jnp.clip(mid, 0, scene.mat_diffuse.shape[0] - 1)
+
+    diffuse = scene.mat_diffuse[mid]
+    emission = scene.mat_emission[mid]
+    reflect_p = scene.mat_reflect[mid]
+    glossy = scene.mat_glossy[mid]
+    transmit_p = scene.mat_transmit[mid]
+    ior = scene.mat_ior[mid]
+    absorption = scene.mat_absorption[mid]
+    tex_id = scene.mat_tex[mid]
+    ntex_id = scene.mat_normal_tex[mid]
+
+    # normal (getColliderNormal, kernels.h:101-118 + world transform :553-556)
+    tri_n = vm.normalize(
+        vm.transform_dir(dyn.inst_transform[inst], scene.tri_normal[gid]),
+        eps=1e-12)
+    normal = tri_n
+    if n_sph:
+        sph_c = scene.sphere_pos[jnp.clip(pid, 0, n_sph - 1)]
+        normal = jnp.where(f3(is_sphere), vm.normalize(pos - sph_c, eps=1e-12), normal)
+    if n_pla:
+        normal = jnp.where(f3(is_plane),
+                           scene.plane_normal[jnp.clip(pid, 0, n_pla - 1)], normal)
+    original_normal = normal
+
+    inside = vm.dot(rd, original_normal) > 0.0
+    surface_normal = jnp.where(f3(inside), -original_normal, original_normal)
+    collider_normal = surface_normal
+
+    # ---- emissive hit (kernels.h:563-576) ----
+    is_emissive = live & (vm.max_comp(emission) > EPS)
+    emis_visible = is_emissive & ((not nee) | state.from_specular)
+    emis_add = state.mask * emission
+    accucolor = accucolor + jnp.where(f3(emis_visible), emis_add, 0.0)
+    albedo_add = albedo_add + jnp.where(f3(emis_visible & ~albedo_set), emis_add, 0.0)
+    albedo_inc = albedo_inc + (emis_visible & ~albedo_set).astype(jnp.float32)
+    albedo_set = albedo_set | emis_visible
+    live = live & ~is_emissive  # emissive hits terminate the path
+
+    # ---- plane checkerboard (kernels.h:578-582) ----
+    if n_pla:
+        px = jnp.abs(pos[..., 0] / 4.0 + 1000.0).astype(jnp.uint32)
+        py = jnp.abs(pos[..., 2] / 4.0 + 1000.0).astype(jnp.uint32)
+        checker = jnp.where(((px + py) % 2 == 0)[..., None],
+                            jnp.ones(3, jnp.float32),
+                            jnp.full(3, 0.2, jnp.float32))
+        diffuse = jnp.where(f3(is_plane), checker, diffuse)
+
+    # ---- texturing by barycentric re-intersection (kernels.h:585-619) ----
+    has_tex = is_tri & (tex_id >= 0)
+    has_nmap = is_tri & (ntex_id >= 0)
+    needs_uv = has_tex | has_nmap
+    tri9 = dyn.world.tris[pid]
+    _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
+                                      tri9[..., 6:9])
+    uvs = scene.tri_uv[gid]  # [B, 6]
+    w0 = 1.0 - tu - tv
+    uv_u = uvs[..., 0] * w0 + uvs[..., 2] * tu + uvs[..., 4] * tv
+    uv_v = uvs[..., 1] * w0 + uvs[..., 3] * tu + uvs[..., 5] * tv
+
+    if int(scene.textures.texels.shape[0]) > 1:
+        from ..scene.textures import sample_bilinear
+        texel = sample_bilinear(scene.textures, jnp.maximum(tex_id, 0), uv_u, uv_v)
+        diffuse = jnp.where(f3(has_tex), diffuse * texel, diffuse)
+
+        ntexel = sample_bilinear(scene.textures, jnp.maximum(ntex_id, 0), uv_u, uv_v)
+        tn = ntexel * 2.0 - 1.0
+        tang = scene.tri_tangent[gid]
+        bitang = scene.tri_bitangent[gid]
+        nrm_model = scene.tri_normal[gid]
+        tex_normal = (tn[..., 0:1] * tang + tn[..., 1:2] * bitang
+                      + tn[..., 2:3] * nrm_model)
+        tex_normal = vm.normalize(
+            vm.transform_dir(dyn.inst_transform[inst], tex_normal), eps=1e-12)
+        flip = vm.dot(tex_normal, collider_normal) < 0.0
+        tex_normal = jnp.where(f3(flip), -tex_normal, tex_normal)
+        collider_normal = jnp.where(f3(has_nmap), tex_normal, collider_normal)
+
+    # ---- branch select (kernels.h:624-661) ----
+    brdf = diffuse / PI
+    r_branch, rand_state = sampling.masked_rand(rand_state, live)
+    take_transmit = live & (r_branch < transmit_p)
+    take_reflect = live & ~take_transmit & (r_branch - transmit_p < reflect_p)
+    take_diffuse = live & ~take_transmit & ~take_reflect
+
+    mask = state.mask
+
+    # transmit branch
+    refr_o, refr_d, refl_prob, beer = _refract(rd, collider_normal, pos, ior,
+                                               absorption, inside, hit.t)
+    mask = jnp.where(f3(take_transmit), mask * beer, mask)
+    r_fres, rand_state = sampling.masked_rand(rand_state, take_transmit)
+    fres_reflect = take_transmit & (r_fres < refl_prob)
+    refl_o, refl_d = _reflect_ray(rd, collider_normal, pos)
+    mask = jnp.where(f3(fres_reflect), mask * diffuse, mask)
+    spec_o = jnp.where(f3(fres_reflect), refl_o, refr_o)
+    spec_d = jnp.where(f3(fres_reflect), refl_d, refr_d)
+
+    # reflect branch
+    mask = jnp.where(f3(take_reflect), mask * diffuse, mask)
+    spec_o = jnp.where(f3(take_reflect), refl_o, spec_o)
+    spec_d = jnp.where(f3(take_reflect), refl_d, spec_d)
+
+    # glossy perturbation (both specular branches, kernels.h:651-660; the
+    # reference does NOT renormalize the lerped direction)
+    take_spec = take_transmit | take_reflect
+    g0, rand_state = sampling.masked_rand(rand_state, take_spec)
+    g1, rand_state = sampling.masked_rand(rand_state, take_spec)
+    noise_d = sampling.hemisphere_cosine(spec_d, g0, g1)
+    spec_d = spec_d * f3(1.0 - glossy) + f3(glossy) * noise_d
+
+    from_specular = jnp.where(live, take_spec, state.from_specular)
+
+    # ---- diffuse branch ----
+    albedo_add = albedo_add + jnp.where(f3(take_diffuse & ~albedo_set),
+                                        mask * diffuse, 0.0)
+    albedo_inc = albedo_inc + (take_diffuse & ~albedo_set).astype(jnp.float32)
+    albedo_set = albedo_set | take_diffuse
+
+    # NEE: 4-candidate area-light sampling (kernels.h:672-752)
+    shadow_o = jnp.zeros_like(ro)
+    shadow_d = jnp.zeros_like(rd)
+    shadow_tmax = jnp.zeros(B, jnp.float32)
+    shadow_active = jnp.zeros(B, bool)
+    light_out = state.light
+    n_lights = int(dyn.light_v0w.shape[0])
+    if nee and n_lights > 0:
+        valid = jnp.zeros(B, jnp.float32)
+        success = jnp.zeros(B, jnp.int32)
+        for _ in range(4):
+            rl, rand_state = sampling.masked_rand(rand_state, take_diffuse)
+            pick = jnp.mod((rl * n_lights).astype(jnp.uint32),
+                           jnp.uint32(n_lights)).astype(jnp.int32)
+            centroid = (dyn.light_v0w[pick] + dyn.light_v1w[pick]
+                        + dyn.light_v2w[pick]) / 3.0
+            lnorm = dyn.light_normal_w[pick]
+            from_light = vm.normalize(pos - centroid, eps=1e-12)
+            ok = take_diffuse & (vm.dot(lnorm, from_light) > 0.0)
+            valid = valid + ok.astype(jnp.float32)
+            success = jnp.where(ok, pick, success)
+
+        has_light = take_diffuse & (valid > 0.0)
+        lu, rand_state = sampling.masked_rand(rand_state, has_light)
+        lv, rand_state = sampling.masked_rand(rand_state, has_light)
+        fold = lu + lv > 1.0
+        lu = jnp.where(fold, 1.0 - lu, lu)
+        lv = jnp.where(fold, 1.0 - lv, lv)
+
+        lv0 = dyn.light_v0w[success]
+        v0v1 = dyn.light_v1w[success] - lv0
+        v0v2 = dyn.light_v2w[success] - lv0
+        cr = vm.cross(v0v1, v0v2)
+        cr_len = jnp.maximum(vm.length(cr), 1e-20)
+        sample_point = lv0 + f3(lu) * v0v1 + f3(lv) * v0v2
+
+        sdir = pos - sample_point
+        slen = jnp.maximum(vm.length(sdir), 1e-20)
+        inv_slen = 1.0 / slen
+        sdir = sdir * f3(inv_slen)
+        lnormal = cr * f3(1.0 / cr_len)
+        nl = vm.dot(collider_normal, -sdir)
+        lnl = vm.dot(lnormal, sdir)
+        unoccludable = has_light & (nl > 0.0) \
+            & (vm.dot(-sdir, surface_normal) > 0.0) & (lnl > 0.0)
+
+        l_emis = dyn.light_emission_w[success]
+        area = 0.5 * cr_len
+        sa = lnl * area * inv_slen * inv_slen
+        contrib = mask * f3(nl * sa * n_lights * (valid / 4.0)) * brdf * l_emis
+        light_out = jnp.where(f3(unoccludable), contrib, light_out)
+
+        # inverted shadow ray for coherent origins (kernels.h:746-750)
+        fw = lnl * lnl * lnl
+        shadow_o = sample_point + f3(fw * EPS) * sdir + f3((1.0 - fw) * EPS) * lnormal
+        shadow_d = sdir
+        shadow_tmax = slen - 2.0 * EPS
+        shadow_active = unoccludable
+
+    # hemisphere sample: guided or cosine (kernels.h:755-770)
+    guided = take_diffuse & jnp.asarray(cache_on) & is_tri \
+        & (vm.dot(collider_normal, original_normal) > 0.0)
+    rc = radiance.cache[gid]
+    rt = radiance.total[gid]
+    gs, rand_state = sampling.masked_rand(rand_state, guided)
+    gr0, rand_state = sampling.masked_rand(rand_state, guided)
+    gr1, rand_state = sampling.masked_rand(rand_state, guided)
+    gdir, gbucket, ginvprob = sampling.hemisphere_cached(
+        collider_normal, rc, rt, gs, gr0, gr1)
+
+    plain = take_diffuse & ~guided
+    c0, rand_state = sampling.masked_rand(rand_state, plain)
+    c1, rand_state = sampling.masked_rand(rand_state, plain)
+    cdir = sampling.hemisphere_cosine(collider_normal, c0, c1)
+
+    r_dir = jnp.where(f3(guided), gdir, cdir)
+    mask = jnp.where(f3(guided), mask * f3(ginvprob), mask)
+
+    cache_stype = jnp.where(guided, SAMPLE_BUCKET,
+                            jnp.where(live, SAMPLE_IGNORE, SAMPLE_TERMINATE))
+    cache_tri = jnp.where(guided, gid, 0)
+    cache_bucket = jnp.where(guided, gbucket, 0)
+    cache_cum_mask = jnp.where(f3(guided), mask, 1.0)
+
+    # kill reversed samples, offset trick, BRDF (kernels.h:772-781)
+    reversed_ = take_diffuse & (vm.dot(r_dir, surface_normal) < 0.0)
+    mask = jnp.where(f3(reversed_), 0.0, mask)
+    fdot = jnp.maximum(vm.dot(collider_normal, r_dir), 0.0)
+    fcube = fdot * fdot * fdot
+    diff_o = pos + f3(EPS * fcube) * r_dir + f3(EPS * (1.0 - fcube)) * collider_normal
+    mask = jnp.where(f3(take_diffuse), mask * PI * brdf, mask)
+
+    russian_p = jnp.where(take_diffuse,
+                          jnp.clip(vm.max_comp(diffuse), 0.1, 0.9), 1.0)
+
+    new_o = jnp.where(f3(take_diffuse), diff_o, spec_o)
+    new_d = jnp.where(f3(take_diffuse), r_dir, spec_d)
+
+    # ---- Russian roulette (kernels.h:784-793) ----
+    rr, rand_state = sampling.masked_rand(rand_state, live)
+    survive = live & (vm.max_comp(mask) > 0.0001) & (rr < russian_p)
+    mask = jnp.where(f3(survive), mask / f3(russian_p), mask)
+    cache_stype = jnp.where(live & ~survive, SAMPLE_TERMINATE, cache_stype)
+
+    # merge state: lanes not shading this bounce keep previous values
+    out_state = TraceState(
+        mask=jnp.where(f3(live), mask, state.mask),
+        accucolor=accucolor,
+        light=light_out,
+        from_specular=from_specular,
+        albedo_set=albedo_set)
+
+    return ShadeOutput(
+        state=out_state,
+        ray_o=new_o, ray_d=new_d, alive=survive,
+        shadow_o=shadow_o, shadow_d=shadow_d,
+        shadow_tmax=shadow_tmax, shadow_active=shadow_active,
+        cache_stype=cache_stype.astype(jnp.int32),
+        cache_tri=cache_tri.astype(jnp.int32),
+        cache_bucket=cache_bucket.astype(jnp.int32),
+        cache_cum_mask=cache_cum_mask,
+        albedo_add=albedo_add, albedo_inc=albedo_inc)
+
+
+def connect(scene, dyn, out: ShadeOutput) -> TraceState:
+    """kernel_connect (src/kernels.h:799-810): any-hit trace of the shadow
+    rays; unoccluded lanes add their pending NEE light to accucolor."""
+    st = out.state
+    if int(dyn.light_v0w.shape[0]) == 0:
+        return st
+    hit = traverse(scene, dyn.world, out.shadow_o, out.shadow_d,
+                   t_max=out.shadow_tmax, active=out.shadow_active,
+                   any_hit=True)
+    add = out.shadow_active & ~hit.intersected
+    accucolor = st.accucolor + jnp.where(add[..., None], st.light, 0.0)
+    return st._replace(accucolor=accucolor)

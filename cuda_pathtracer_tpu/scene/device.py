@@ -76,6 +76,13 @@ class DynamicArrays(NamedTuple):
     inst_transform: jnp.ndarray  # f32[I, 3, 4]
     inst_inv: jnp.ndarray        # f32[I, 3, 4]
     inst_mat: jnp.ndarray        # i32[I] material override (-1 = none)
+    # world-space emissive light triangles, precomputed per invalidation so the
+    # NEE inner loop (kernels.h:672-752) needs no transform gathers at all
+    light_v0w: jnp.ndarray       # f32[TL, 3]
+    light_v1w: jnp.ndarray       # f32[TL, 3]
+    light_v2w: jnp.ndarray       # f32[TL, 3]
+    light_normal_w: jnp.ndarray  # f32[TL, 3]
+    light_emission_w: jnp.ndarray  # f32[TL, 3]
 
 
 def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):

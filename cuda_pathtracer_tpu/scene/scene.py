@@ -265,7 +265,36 @@ class Scene:
             tangent = np.where(need[:, None], tg, 0.0).astype(np.float32)
             bitangent = np.where(need[:, None], bt, 0.0).astype(np.float32)
 
-        # --- BVH over this model's block, then permute the block ---
+        return self._append_model(v0, v1, v2, normal, tangent, bitangent,
+                                  uv.reshape(nt, 6).astype(np.float32),
+                                  tri_materials)
+
+    addModel = add_model
+
+    def add_mesh(self, v0, v1, v2, material: int, normals=None, uv=None) -> int:
+        """Register a raw triangle soup as a model (used by the procedural
+        stand-in scenes and by tests; no reference equivalent — the reference
+        only ingests OBJ files)."""
+        nt = len(v0)
+        v0 = np.asarray(v0, np.float32)
+        v1 = np.asarray(v1, np.float32)
+        v2 = np.asarray(v2, np.float32)
+        if normals is None:
+            n = np.cross(v1 - v0, v2 - v0)
+            normals = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                                     1e-30)
+        zeros = np.zeros((nt, 3), np.float32)
+        uv6 = np.zeros((nt, 6), np.float32) if uv is None \
+            else np.asarray(uv, np.float32).reshape(nt, 6)
+        return self._append_model(v0, v1, v2,
+                                  np.asarray(normals, np.float32),
+                                  zeros, zeros, uv6,
+                                  np.full(nt, material, np.int32))
+
+    def _append_model(self, v0, v1, v2, normal, tangent, bitangent,
+                      uv6, tri_materials) -> int:
+        """BVH over the model's block, permute the block, register the model."""
+        nt = len(v0)
         nodes = build_bvh(v0, v1, v2)
         perm = nodes.perm
         start = len(self._v0)
@@ -275,14 +304,10 @@ class Scene:
         self._normal = np.concatenate([self._normal, normal[perm]])
         self._tangent = np.concatenate([self._tangent, tangent[perm]])
         self._bitangent = np.concatenate([self._bitangent, bitangent[perm]])
-        self._uv = np.concatenate([self._uv,
-                                   uv[perm].reshape(nt, 6).astype(np.float32)])
+        self._uv = np.concatenate([self._uv, uv6[perm]])
         self._tri_mat = np.concatenate([self._tri_mat, tri_materials[perm]])
-
         self.models.append(Model(start, nt, thread_bvh(nodes)))
         return len(self.models) - 1
-
-    addModel = add_model
 
     # ------------------------------------------------------------------
     def validate(self):
@@ -450,8 +475,32 @@ class Scene:
                 tris=jnp.zeros((0, 9), jnp.float32),
                 tri_gid=jnp.zeros((0,), jnp.int32),
                 tri_inst=jnp.zeros((0,), jnp.int32))
+        # world-space emissive light triangles (the DTriangleLights of
+        # pathtracer.h:154-170, pre-transformed so shading never gathers
+        # instance matrices for NEE)
+        light_tri, light_inst = self.extract_triangle_lights(overrides)
+        if len(light_tri):
+            lt = transforms[light_inst]                     # [TL, 3, 4]
+            rot = lt[:, :, :3]
+            trn = lt[:, :, 3]
+            lv0 = np.einsum('lij,lj->li', rot, self._v0[light_tri]) + trn
+            lv1 = np.einsum('lij,lj->li', rot, self._v1[light_tri]) + trn
+            lv2 = np.einsum('lij,lj->li', rot, self._v2[light_tri]) + trn
+            lnrm = np.einsum('lij,lj->li', rot, self._normal[light_tri])
+            lnrm /= np.maximum(np.linalg.norm(lnrm, axis=1, keepdims=True), 1e-30)
+            lmat = np.where(overrides[light_inst] >= 0, overrides[light_inst],
+                            self._tri_mat[light_tri])
+            emis = np.array([m.emission for m in self.materials], np.float32)
+            lemis = emis[lmat]
+        else:
+            lv0 = lv1 = lv2 = lnrm = lemis = np.zeros((0, 3), np.float32)
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
-                            jnp.asarray(overrides))
+                            jnp.asarray(overrides),
+                            jnp.asarray(lv0, jnp.float32),
+                            jnp.asarray(lv1, jnp.float32),
+                            jnp.asarray(lv2, jnp.float32),
+                            jnp.asarray(lnrm, jnp.float32),
+                            jnp.asarray(lemis, jnp.float32))
         self._dyn_cache = (self._version, dyn)
         return dyn

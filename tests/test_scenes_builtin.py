@@ -1,0 +1,53 @@
+"""Built-in scene builders and the chai-script loader."""
+import numpy as np
+import pytest
+
+from cuda_pathtracer_tpu.scene.builder import get_scene
+
+
+def test_outside_scene(reference_assets):
+    s = get_scene('outside', asset_dirs=[reference_assets])
+    assert len(s.objects) == 10          # 10 animated cubes
+    assert len(s.planes) == 1
+    assert len(s.point_lights) == 3
+    assert s.interactive_depth == 5
+    # the animation handler moves the cubes and invalidates
+    p_before = s.objects[0].position.copy()
+    s.update(None, 5.0)
+    assert not np.allclose(s.objects[0].position, p_before)
+    assert s.invalid
+
+
+def test_sibenik_scene(reference_assets):
+    s = get_scene('sibenik', asset_dirs=[reference_assets])
+    assert len(s.spheres) == 2
+    assert len(s.objects) == 3
+    # the emissive cube is a real area light
+    _, _, overrides = s.instances()
+    tris, insts = s.extract_triangle_lights(overrides)
+    assert len(tris) == 12
+
+
+def test_minecraft_scene(reference_assets):
+    s = get_scene('minecraft', asset_dirs=[reference_assets])
+    assert len(s.objects) == 1
+    assert len(s._v0) > 5000
+
+
+def test_chai_example_scene(reference_assets):
+    s = get_scene(f'{reference_assets}/example_scene.chai',
+                  asset_dirs=[reference_assets])
+    assert len(s.objects) == 2
+    assert len(s.materials) == 2
+    assert abs(s.materials[0].refractive_index - 1.5) < 1e-6
+    assert s.materials[1].emission == (1.0, 1.0, 1.0)
+    # second object scaled to 0.2 and rotated pi/2 about y
+    assert np.allclose(s.objects[1].scale, 0.2)
+    assert abs(s.objects[1].rotation[1] - np.pi / 2) < 1e-3
+
+
+def test_chai_rejects_bad_script(tmp_path):
+    bad = tmp_path / 'bad.chai'
+    bad.write_text('var x = not_a_function(1)\n')
+    with pytest.raises(RuntimeError, match='bad.chai:1'):
+        get_scene(str(bad))
