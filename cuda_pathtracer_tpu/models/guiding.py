@@ -65,12 +65,16 @@ class SampleCache(NamedTuple):
 
 def update_radiance_state(state: RadianceState, cache: SampleCache,
                           total_energy: jnp.ndarray,
-                          enabled) -> RadianceState:
+                          enabled, axis_name: str | None = None) -> RadianceState:
     """One guiding step = update buckets + propagate, fused.
 
     total_energy: f32[B, 3] — the pixel's accumulated color this sample.
     enabled: bool scalar (traced) — gates the whole update (the reference gates
     on converge-mode + sampleIdx < 100, src/pathtracer.h:292-296).
+    axis_name: when called inside shard_map (parallel/mesh.py), the mesh axis
+    to all-reduce the raw bucket sums over BEFORE the EMA — this makes the
+    sharded update bit-identical to the single-chip one (per-shard means would
+    not be, since the EMA+clamp is nonlinear).
     """
     n_tris = state.cache.shape[0]
 
@@ -95,6 +99,9 @@ def update_radiance_state(state: RadianceState, cache: SampleCache,
                                  num_segments=n_tris * GUIDE_BUCKETS + 1)
     add_sum = sums[:-1].reshape(n_tris, GUIDE_BUCKETS)
     add_count = counts[:-1].reshape(n_tris, GUIDE_BUCKETS)
+    if axis_name is not None:
+        add_sum = jax.lax.psum(add_sum, axis_name)
+        add_count = jax.lax.psum(add_count, axis_name)
 
     # propagate (kernel_propagate_buckets, kernels.h:884-905)
     has = add_count >= EPS

@@ -46,27 +46,37 @@ class _BounceCarry(NamedTuple):
     rand_idx: jnp.ndarray
     albedo_add: jnp.ndarray
     albedo_inc: jnp.ndarray
+    rays_traced: jnp.ndarray  # i64-ish f32 counter: extend + connect rays
 
 
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
-                                   'width', 'height'))
+                                   'width', 'height', 'full_height',
+                                   'guide_axis'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
-                  width: int, height: int):
+                  width: int, height: int, full_height: int = 0,
+                  row_offset=0, guide_axis: str | None = None):
     """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
 
     Mirrors one iteration of the sample loop in Pathtracer::Render
-    (src/pathtracer.h:255-301)."""
+    (src/pathtracer.h:255-301).
+
+    For multi-chip sharding (parallel/mesh.py) the function renders a
+    horizontal band: `height` is the band height, `row_offset` (traced) the
+    band's first global row and `full_height` the full image height — pixel
+    coordinates, and therefore RNG streams, stay globally consistent, so a
+    sharded render is bit-identical to single-chip."""
+    full_height = full_height or height
     B = width * height
     lanes = jnp.arange(B, dtype=jnp.int32)
     xs = lanes % width
-    ys = lanes // width
+    ys = lanes // width + jnp.asarray(row_offset, jnp.int32)
 
     # generate primary rays (kernel_generate_primary_rays, kernels.h:493-501;
     # camera jitter uses the raw xorshift stream, types.h:641-658)
     seeds = _rng.get_seed(xs, ys, rand_idx, width)
-    ro, rd, _ = cam_mod.generate_rays(camera, xs, ys, seeds, width, height)
+    ro, rd, _ = cam_mod.generate_rays(camera, xs, ys, seeds, width, full_height)
     rand_idx = rand_idx + jnp.uint32(1)
 
     state0 = TraceState.clear(B)
@@ -78,7 +88,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         cache=SampleCache.empty(B),
         rand_idx=rand_idx,
         albedo_add=jnp.zeros((B, 3), jnp.float32),
-        albedo_inc=jnp.zeros(B, jnp.float32))
+        albedo_inc=jnp.zeros(B, jnp.float32),
+        rays_traced=jnp.zeros((), jnp.float32))
 
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
@@ -105,24 +116,28 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             bucket=upd(c.cache.bucket, out.cache_bucket),
             cum_mask=upd(c.cache.cum_mask, out.cache_cum_mask))
 
+        n_rays = jnp.sum(c.alive.astype(jnp.float32)) \
+            + jnp.sum(out.shadow_active.astype(jnp.float32))
         return _BounceCarry(
             bounce=c.bounce + 1,
             ro=out.ray_o, rd=out.ray_d, alive=out.alive,
             state=st, cache=cache, rand_idx=rand_idx2,
             albedo_add=c.albedo_add + out.albedo_add,
-            albedo_inc=c.albedo_inc + out.albedo_inc)
+            albedo_inc=c.albedo_inc + out.albedo_inc,
+            rays_traced=c.rays_traced + n_rays)
 
     final = jax.lax.while_loop(cond, body, carry)
 
     # guiding update (src/pathtracer.h:292-296)
     radiance2 = update_radiance_state(radiance, final.cache,
-                                      final.state.accucolor, guide_enabled)
+                                      final.state.accucolor, guide_enabled,
+                                      axis_name=guide_axis)
 
     lum2 = film.accumulate(lum, final.state.accucolor)
     alb2 = film.accumulate_albedo(alb, final.albedo_add, final.albedo_inc)
     # host randIdx advanced once per bounce + once for generate; return the
     # loop's final value so the next sample continues the stream
-    return lum2, alb2, radiance2, final.rand_idx
+    return lum2, alb2, radiance2, final.rand_idx, final.rays_traced
 
 
 class Pathtracer:
@@ -144,6 +159,7 @@ class Pathtracer:
         self.lum, self.alb = film.clear_accumulators(width * height)
         self.sample_idx = 0
         self.rand_idx = 0
+        self.rays_traced = 0.0   # perf counter (not in the reference)
 
     def init(self):  # API parity with Application::Init
         pass
@@ -167,7 +183,7 @@ class Pathtracer:
         for _ in range(n_samples):
             guide = jnp.asarray((not should_clear) and self.cache
                                 and self.sample_idx < 100)
-            self.lum, self.alb, self.radiance, ridx = render_sample(
+            self.lum, self.alb, self.radiance, ridx, rays = render_sample(
                 self.arrays, self.dyn, camera, self.radiance,
                 self.lum, self.alb,
                 jnp.asarray(self.sample_idx, jnp.uint32),
@@ -176,8 +192,11 @@ class Pathtracer:
                 nee=self.nee, cache_on=self.cache,
                 max_bounces=max_bounces,
                 width=self.width, height=self.height)
-            self.rand_idx = int(ridx)
+            # keep counters as device scalars: no host sync per sample, so
+            # samples pipeline asynchronously like the reference's stream
+            self.rand_idx = ridx
             self.sample_idx += 1
+            self.rays_traced = self.rays_traced + rays
 
     def finish(self):
         """Application::Finish — device sync (src/pathtracer.h:305-310)."""

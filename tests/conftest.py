@@ -7,11 +7,16 @@ the "fake backend").
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# hard override: the environment presets JAX_PLATFORMS=axon (the real TPU
+# tunnel); tests must run on the virtual CPU mesh
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
