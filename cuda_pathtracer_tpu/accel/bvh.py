@@ -60,6 +60,28 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHNodes:
     node_count = 1
     stack = [(0, 0, n)]  # (node index, start, count) over `indices`
 
+    def median_split(idx, start, count, ids, axis):
+        """Fallback when SAH bails with count > BVH_LEAF_SIZE: median split so
+        leaves NEVER exceed BVH_LEAF_SIZE (the traversal kernels test exactly
+        that many triangles per leaf; the reference instead loops a dynamic
+        range, src/kernels.h:224-241 — a static bound is the TPU contract)."""
+        nonlocal node_count
+        order = np.argsort(centroids[ids][:, axis], kind='stable')
+        indices[start:start + count] = ids[order]
+        lcnt = count // 2
+        c1, c2 = node_count, node_count + 1
+        node_count += 2
+        lids = indices[start:start + lcnt]
+        rids = indices[start + lcnt:start + count]
+        vmin[c1] = tri_min[lids].min(axis=0)
+        vmax[c1] = tri_max[lids].max(axis=0)
+        vmin[c2] = tri_min[rids].min(axis=0)
+        vmax[c2] = tri_max[rids].max(axis=0)
+        left[idx] = c1
+        leaf_count[idx] = 0
+        stack.append((c2, start + lcnt, count - lcnt))
+        stack.append((c1, start, lcnt))
+
     while stack:
         idx, start, count = stack.pop()
         ids = indices[start:start + count]
@@ -77,8 +99,7 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHNodes:
         bmin, bmax = cmin[axis], cmax[axis]
 
         if bmax - bmin < K_BINS * EPS:
-            leaf_start[idx] = start
-            leaf_count[idx] = count
+            median_split(idx, start, count, ids, axis)
             continue
 
         bin_fac = K_BINS * (1.0 - EPS) / (bmax - bmin)
@@ -110,14 +131,12 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHNodes:
         sah = left_costs + right_costs + EPS
         min_k = int(np.argmin(sah))
         if sah[min_k] >= count:
-            leaf_start[idx] = start
-            leaf_count[idx] = count
+            median_split(idx, start, count, ids, axis)
             continue
-        # degenerate split (all triangles on one side): make a leaf
+        # degenerate split (all triangles on one side)
         lcnt = int(lcount[min_k - 1]) if min_k > 0 else 0
         if lcnt == 0 or lcnt == count:
-            leaf_start[idx] = start
-            leaf_count[idx] = count
+            median_split(idx, start, count, ids, axis)
             continue
 
         is_left = bin_ids < min_k

@@ -93,6 +93,30 @@ extern "C" int64_t build_bvh_binned(
 
     std::vector<int8_t> bin_id(n);
 
+    // Fallback when SAH bails with count > LEAF_SIZE: median split on the
+    // dominant axis so leaves NEVER exceed LEAF_SIZE (the TPU traversal tests
+    // a static number of triangles per leaf).
+    auto median_split = [&](int64_t idx, int64_t start, int64_t count,
+                            int axis) {
+        int32_t* b = out_perm + start;
+        std::nth_element(b, b + count / 2, b + count,
+                         [&](int32_t a, int32_t c) {
+                             return centroid[a][axis] < centroid[c][axis];
+                         });
+        const int64_t lcnt = count / 2;
+        const int64_t c1 = node_count++, c2 = node_count++;
+        Box lb = Box::insideOut(), rb = Box::insideOut();
+        for (int64_t i = start; i < start + lcnt; i++) lb.grow(tri_box[out_perm[i]]);
+        for (int64_t i = start + lcnt; i < start + count; i++) rb.grow(tri_box[out_perm[i]]);
+        set_box(c1, lb);
+        set_box(c2, rb);
+        out_left[idx] = (int32_t)c1;
+        out_leaf_count[idx] = 0;
+        out_leaf_start[idx] = 0;
+        stack.push_back({c2, start + lcnt, count - lcnt});
+        stack.push_back({c1, start, lcnt});
+    };
+
     while (!stack.empty()) {
         WorkItem w = stack.back();
         stack.pop_back();
@@ -112,7 +136,7 @@ extern "C" int64_t build_bvh_binned(
         if (ext.x > ext.y && ext.x > ext.z) axis = 0;
         else if (ext.y > ext.x && ext.y > ext.z) axis = 1;
         const float bmin = cen.lo[axis], bmax = cen.hi[axis];
-        if (bmax - bmin < K * FEPS) { make_leaf(idx, start, count); continue; }
+        if (bmax - bmin < K * FEPS) { median_split(idx, start, count, axis); continue; }
 
         // bin
         Box bins[K];
@@ -158,7 +182,7 @@ extern "C" int64_t build_bvh_binned(
             double sah = left_cost[k] + right_cost[k] + FEPS;
             if (sah < min_sah) { min_sah = sah; min_k = k; }
         }
-        if (min_k <= 0) { make_leaf(idx, start, count); continue; }
+        if (min_k <= 0) { median_split(idx, start, count, axis); continue; }
 
         // in-place partition of the permutation slice
         int64_t l = start, r = start + count - 1;
@@ -168,7 +192,7 @@ extern "C" int64_t build_bvh_binned(
             std::swap(out_perm[l], out_perm[r]);
         }
         const int64_t lcnt = l - start;
-        if (lcnt == 0 || lcnt == count) { make_leaf(idx, start, count); continue; }
+        if (lcnt == 0 || lcnt == count) { median_split(idx, start, count, axis); continue; }
 
         const int64_t c1 = node_count++, c2 = node_count++;
         set_box(c1, left_scan[min_k]);

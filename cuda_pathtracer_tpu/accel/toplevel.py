@@ -39,6 +39,7 @@ class WorldBVH(NamedTuple):
     tri_v2: np.ndarray
     tri_gid: np.ndarray     # i32[WT] global (model-space) triangle id -> attributes
     tri_inst: np.ndarray    # i32[WT] owning instance
+    wtri_base: np.ndarray   # i64[I] first world-triangle index of instance i
 
 
 def _merged_area(amin, amax, bmin, bmax):
@@ -201,7 +202,8 @@ def build_world_bvh(model_bvhs: list[ThreadedBVH],
     w2 = np.concatenate([s[2] for s in segs_v], axis=0)
     return WorldBVH(vmin, vmax, miss, leaf_start, leaf_count,
                     w0, w1, w2,
-                    np.concatenate(segs_gid), np.concatenate(segs_inst))
+                    np.concatenate(segs_gid), np.concatenate(segs_inst),
+                    wtri_base)
 
 
 def _transform_boxes(vmin: np.ndarray, vmax: np.ndarray, m34: np.ndarray):

@@ -1,0 +1,316 @@
+"""Wide (16-ary) BVH with fat 512-byte rows — the TPU-native traversal layout.
+
+Motivation (measured on TPU v5e, tools/tpu_gather_curve.py): XLA row-gathers
+cost ~2-7 ns per ROW with a large fixed per-step cost, nearly independent of
+row width up to 512B. A binary BVH walk does one 32-byte gather per visited
+node (~17-205 visits/ray on sibenik); collapsing to a 16-ary tree with
+512-byte rows cuts visits ~4-8x while each iteration still costs ONE gather.
+
+Every row of the table is float32[128] and is either:
+  inner:  [0] = +n_children
+          [1:97]   vminx[16] vminy[16] vminz[16] vmaxx[16] vmaxy[16] vmaxz[16]
+          [97:113] child row refs (bitcast int32)
+          empty slots get inside-out boxes (never hit)
+  leaf:   [0] = -n_tris   (1..12)
+          [1:109]   triangles v0|v1|v2 interleaved per tri (12 x 9 floats,
+                    world space)
+          [109:121] world-triangle indices (bitcast int32) into the flat
+                    WorldArrays triangle list (for shading attribute lookup)
+
+This realizes BASELINE.json's "width-flattened BVH traversed by a masked
+short-stack kernel": the traversal (ops/traverse_wide.py) keeps a per-lane
+short stack of (node, visited-mask) pairs, one entry per tree level.
+
+The reference's QBVH ambition was left as a stub (makeQBVH,
+src/bvhBuilder.h:418-422); this is its realized TPU-native form.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .bvh import BVHNodes
+
+ROW = 128
+ARITY = 16
+LEAF_MAX = 12
+
+INNER_BOX0 = 1
+INNER_REFS = 97
+LEAF_TRIS = 1
+LEAF_GIDS = 109
+LEAF_GID_MAX = LEAF_GIDS + LEAF_MAX  # 121
+
+
+class WideBVH(NamedTuple):
+    rows: np.ndarray   # f32[N, 128] (int fields bitcast)
+    depth: int         # max tree depth (for traversal stack sizing)
+
+
+def _subtree_tris(nodes: BVHNodes, idx: int) -> int:
+    # iterative triangle count of a binary subtree
+    total = 0
+    stack = [idx]
+    while stack:
+        i = stack.pop()
+        if nodes.leaf_count[i] > 0:
+            total += int(nodes.leaf_count[i])
+        else:
+            stack.append(int(nodes.left[i]))
+            stack.append(int(nodes.left[i]) + 1)
+    return total
+
+
+def _collect_leaf_ranges(nodes: BVHNodes, idx: int):
+    out = []
+    stack = [idx]
+    while stack:
+        i = stack.pop()
+        if nodes.leaf_count[i] > 0:
+            out.append((int(nodes.leaf_start[i]), int(nodes.leaf_count[i])))
+        else:
+            stack.append(int(nodes.left[i]))
+            stack.append(int(nodes.left[i]) + 1)
+    return out
+
+
+def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
+                   tri_v2: np.ndarray, tri_index_base: int = 0) -> WideBVH:
+    """Collapse a binary BVH into the fat-row 16-ary layout.
+
+    tri_v0/1/2: the triangle block the binary build's leaf ranges refer to
+    (already permuted). tri_index_base offsets the stored triangle indices so
+    they address a global flat triangle array.
+    """
+    n_tris_counts: dict[int, int] = {}
+
+    def tri_count(i):
+        if i not in n_tris_counts:
+            n_tris_counts[i] = _subtree_tris(nodes, i)
+        return n_tris_counts[i]
+
+    rows: list[np.ndarray] = []
+    max_depth = [0]
+
+    def emit_leaf(ranges) -> int:
+        """Pack triangle ranges (≤ LEAF_MAX total tris) into one leaf row."""
+        row = np.zeros(ROW, np.float32)
+        tris = []
+        gids = []
+        for start, count in ranges:
+            for k in range(count):
+                tris.append(np.concatenate([tri_v0[start + k], tri_v1[start + k],
+                                            tri_v2[start + k]]))
+                gids.append(tri_index_base + start + k)
+        n = len(tris)
+        assert 1 <= n <= LEAF_MAX
+        row[0] = -float(n)
+        row[LEAF_TRIS:LEAF_TRIS + 9 * n] = np.concatenate(tris)
+        row[LEAF_GIDS:LEAF_GIDS + n] = np.frombuffer(
+            np.asarray(gids, np.int32).tobytes(), np.float32)
+        rows.append(row)
+        return len(rows) - 1
+
+    def emit(idx: int, depth: int) -> int:
+        """Emit the subtree rooted at binary node idx; returns its row id."""
+        max_depth[0] = max(max_depth[0], depth)
+        if tri_count(idx) <= LEAF_MAX:
+            return emit_leaf(_collect_leaf_ranges(nodes, idx))
+
+        # collapse: expand the slot with the most triangles until ARITY slots
+        # or all slots are small enough to inline
+        slots = [idx]
+        while len(slots) < ARITY:
+            # pick the largest expandable inner slot
+            best, best_n = -1, LEAF_MAX
+            for s_i, s in enumerate(slots):
+                if nodes.leaf_count[s] == 0:
+                    n = tri_count(s)
+                    if n > best_n:
+                        best, best_n = s_i, n
+            if best < 0:
+                break
+            s = slots.pop(best)
+            slots.insert(best, int(nodes.left[s]) + 1)
+            slots.insert(best, int(nodes.left[s]))
+
+        row_id = len(rows)
+        rows.append(np.zeros(ROW, np.float32))  # reserve position
+        row = np.zeros(ROW, np.float32)
+        row[0] = float(len(slots))
+        refs = np.zeros(ARITY, np.int32)
+        # inside-out boxes for empty slots
+        box = np.zeros((6, ARITY), np.float32)
+        box[0:3] = 3.0e38
+        box[3:6] = -3.0e38
+        for k, s in enumerate(slots):
+            box[0, k] = nodes.vmin[s][0]
+            box[1, k] = nodes.vmin[s][1]
+            box[2, k] = nodes.vmin[s][2]
+            box[3, k] = nodes.vmax[s][0]
+            box[4, k] = nodes.vmax[s][1]
+            box[5, k] = nodes.vmax[s][2]
+            refs[k] = emit(s, depth + 1)
+        row[INNER_BOX0:INNER_BOX0 + 6 * ARITY] = box.reshape(-1)
+        row[INNER_REFS:INNER_REFS + ARITY] = np.frombuffer(
+            refs.tobytes(), np.float32)
+        rows[row_id] = row
+        return row_id
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    try:
+        root = emit(0, 1)
+    finally:
+        sys.setrecursionlimit(old)
+    assert root == 0
+    return WideBVH(np.stack(rows), max_depth[0])
+
+
+def transform_wide_rows(rows: np.ndarray, m34: np.ndarray) -> np.ndarray:
+    """Apply an affine transform to a model-space wide table: triangles are
+    transformed exactly, inner boxes conservatively (8-corner), refs kept.
+    Vectorized over all rows (the per-invalidation instance rebake)."""
+    out = rows.copy()
+    tag = rows[:, 0]
+    rot = np.asarray(m34[:, :3], np.float32)
+    trn = np.asarray(m34[:, 3], np.float32)
+
+    leaf = tag < 0
+    if leaf.any():
+        tr = rows[leaf, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(-1, LEAF_MAX, 3, 3)
+        w = tr @ rot.T + trn
+        out[leaf, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX] = w.reshape(leaf.sum(), -1)
+
+    inner = tag > 0
+    if inner.any():
+        box = rows[inner, INNER_BOX0:INNER_BOX0 + 6 * ARITY].reshape(-1, 6, ARITY)
+        vmin = box[:, 0:3].transpose(0, 2, 1)   # [R, 16, 3]
+        vmax = box[:, 3:6].transpose(0, 2, 1)
+        masks = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                          [1, 1, 1], [0, 1, 1], [1, 0, 1], [1, 1, 0]], np.float32)
+        corners = vmin[:, :, None, :] * (1 - masks) + vmax[:, :, None, :] * masks
+        wc = corners @ rot.T + trn
+        nmin = wc.min(axis=2)
+        nmax = wc.max(axis=2)
+        empty = vmin[..., 0] > 1e38  # keep inside-out slots inside-out
+        nmin = np.where(empty[..., None], vmin, nmin)
+        nmax = np.where(empty[..., None], vmax, nmax)
+        nb = np.concatenate([nmin.transpose(0, 2, 1),
+                             nmax.transpose(0, 2, 1)], axis=1)
+        out[inner, INNER_BOX0:INNER_BOX0 + 6 * ARITY] = nb.reshape(inner.sum(), -1)
+    return out
+
+
+def offset_wide_refs(rows: np.ndarray, offset: int) -> np.ndarray:
+    """Shift child refs when splicing a model table into the world table."""
+    out = rows.copy()
+    inner = rows[:, 0] > 0
+    refs = out[inner, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
+    out[inner, INNER_REFS:INNER_REFS + ARITY] = (refs + offset).view(np.float32)
+    return out
+
+
+def offset_wide_gids(rows: np.ndarray, offset: int) -> np.ndarray:
+    """Shift stored triangle indices (leaf rows)."""
+    out = rows.copy()
+    leaf = rows[:, 0] < 0
+    gids = out[leaf, LEAF_GIDS:LEAF_GID_MAX].view(np.int32)
+    n = (-rows[leaf, 0]).astype(np.int32)
+    valid = np.arange(LEAF_MAX)[None, :] < n[:, None]
+    out[leaf, LEAF_GIDS:LEAF_GID_MAX] = np.where(
+        valid, gids + offset, gids).view(np.float32)
+    return out
+
+
+def build_world_wide(model_wides: list[WideBVH],
+                     inst_model: np.ndarray,
+                     inst_transform: np.ndarray,
+                     wtri_bases: list[int]) -> WideBVH:
+    """Merge per-instance transformed wide tables under 16-ary top nodes.
+
+    wtri_bases: base index of each INSTANCE's triangles in the flat world
+    triangle array (leaf gids in model tables are local tri indices).
+    """
+    n_inst = len(inst_model)
+    segs = []
+    roots = []
+    root_boxes = []
+    # top-level fan-out: reserve top rows first (a chain of 16-ary levels
+    # when there are more than 16 instances)
+    n_top = 0
+    cnt = n_inst
+    while cnt > 1:
+        n_top += (cnt + ARITY - 1) // ARITY
+        cnt = (cnt + ARITY - 1) // ARITY
+    pos = n_top
+    for i in range(n_inst):
+        mw = model_wides[inst_model[i]]
+        rows = transform_wide_rows(mw.rows, inst_transform[i])
+        rows = offset_wide_refs(rows, pos)
+        rows = offset_wide_gids(rows, wtri_bases[i])
+        segs.append(rows)
+        roots.append(pos)
+        # root box of this instance subtree
+        tag = rows[0, 0]
+        if tag > 0:
+            box = rows[0, INNER_BOX0:INNER_BOX0 + 6 * ARITY].reshape(6, ARITY)
+            valid = box[0] < 1e38
+            bmin = box[0:3, valid].min(axis=1)
+            bmax = box[3:6, valid].max(axis=1)
+        else:
+            ntr = int(-tag)
+            t = rows[0, LEAF_TRIS:LEAF_TRIS + 9 * ntr].reshape(ntr, 3, 3)
+            bmin = t.reshape(-1, 3).min(axis=0)
+            bmax = t.reshape(-1, 3).max(axis=0)
+        root_boxes.append((bmin, bmax))
+        pos += len(rows)
+
+    if n_top == 0:
+        depth = max(mw.depth for mw in model_wides)
+        return WideBVH(segs[0], depth)
+
+    # build the top levels bottom-up: group current roots 16 at a time until
+    # one remains; rows are placed in the reserved [0, n_top) region with the
+    # final root at row 0 (emitted last, in reverse order)
+    def make_group(children):
+        """children: list of (row_id, bmin, bmax) -> a top row array."""
+        top = np.zeros(ROW, np.float32)
+        top[0] = float(len(children))
+        box = np.zeros((6, ARITY), np.float32)
+        box[0:3] = 3.0e38
+        box[3:6] = -3.0e38
+        refs = np.zeros(ARITY, np.int32)
+        gmin = np.full(3, 3.0e38)
+        gmax = np.full(3, -3.0e38)
+        for i, (r, bmin, bmax) in enumerate(children):
+            box[0:3, i] = bmin
+            box[3:6, i] = bmax
+            refs[i] = r
+            gmin = np.minimum(gmin, bmin)
+            gmax = np.maximum(gmax, bmax)
+        top[INNER_BOX0:INNER_BOX0 + 6 * ARITY] = box.reshape(-1)
+        top[INNER_REFS:INNER_REFS + ARITY] = np.frombuffer(refs.tobytes(),
+                                                           np.float32)
+        return top, gmin, gmax
+
+    level = [(roots[i], root_boxes[i][0], root_boxes[i][1])
+             for i in range(n_inst)]
+    top_rows = [None] * n_top
+    next_free = n_top  # allocate reserved slots from the back
+    levels = 0
+    while len(level) > 1:
+        levels += 1
+        nxt = []
+        for g in range(0, len(level), ARITY):
+            chunk = level[g:g + ARITY]
+            next_free -= 1
+            row, gmin, gmax = make_group(chunk)
+            top_rows[next_free] = row
+            nxt.append((next_free, gmin, gmax))
+        level = nxt
+    assert next_free == 0 and level[0][0] == 0
+    depth = max(mw.depth for mw in model_wides) + levels
+    return WideBVH(np.concatenate([np.stack(top_rows), *segs]), depth)

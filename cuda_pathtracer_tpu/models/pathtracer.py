@@ -32,7 +32,7 @@ from .guiding import (RadianceState, SampleCache, init_radiance_state,
 from .shading import TraceState, shade, connect
 from ..core import camera as cam_mod
 from ..core import rng as _rng
-from ..ops.traverse import traverse
+from ..ops.dispatch import trace
 from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH
 
 
@@ -51,12 +51,13 @@ class _BounceCarry(NamedTuple):
 
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
-                                   'guide_axis'))
+                                   'guide_axis', 'wide_depth'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
-                  row_offset=0, guide_axis: str | None = None):
+                  row_offset=0, guide_axis: str | None = None,
+                  wide_depth: int = 0):
     """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
 
     Mirrors one iteration of the sample loop in Pathtracer::Render
@@ -95,12 +96,13 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
     def body(c: _BounceCarry):
-        hit = traverse(scene, dyn.world, c.ro, c.rd, active=c.alive)
+        hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
+                    wide_depth=wide_depth)
         out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
                     xs, ys, c.rand_idx, sample_idx, c.bounce,
                     nee, cache_on, radiance, width)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
-        st = connect(scene, dyn, out) if nee else out.state
+        st = connect(scene, dyn, out, wide_depth) if nee else out.state
 
         # sample-cache write for bounce < MAX_CACHE_DEPTH (kernels.h:536,795)
         w = jnp.minimum(c.bounce, MAX_CACHE_DEPTH - 1)
@@ -180,6 +182,9 @@ class Pathtracer:
             max_bounces = (self.scene.interactive_depth + 1) if should_clear \
                 else MAX_RAY_DEPTH
 
+        # round the wide-BVH stack bound up to a multiple of 4 so small scene
+        # edits don't force recompiles
+        wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
         for _ in range(n_samples):
             guide = jnp.asarray((not should_clear) and self.cache
                                 and self.sample_idx < 100)
@@ -191,7 +196,7 @@ class Pathtracer:
                 guide,
                 nee=self.nee, cache_on=self.cache,
                 max_bounces=max_bounces,
-                width=self.width, height=self.height)
+                width=self.width, height=self.height, wide_depth=wd)
             # keep counters as device scalars: no host sync per sample, so
             # samples pipeline asynchronously like the reference's stream
             self.rand_idx = ridx

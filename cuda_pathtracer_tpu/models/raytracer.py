@@ -26,20 +26,21 @@ import jax.numpy as jnp
 from .shading import _refract, _reflect_ray
 from ..core import camera as cam_mod
 from ..core import vecmath as vm
-from ..ops.traverse import traverse, PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE
+from ..ops.traverse import PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE
+from ..ops.dispatch import trace
 from ..constants import EPS
 from . import film
 
 SKY_COLOR = (0.2, 0.3, 0.6)  # src/raytracer.h:89
 
 
-def _shade_level(scene, dyn, ro, rd, weight, pixel, active, width):
+def _shade_level(scene, dyn, ro, rd, weight, pixel, active, width, wide_depth=0):
     """Shade one recursion level; returns (contribution [B?,3] scattered adds,
     child rays). Mirrors Raytracer::radiance (src/raytracer.h:85-165)."""
     f3 = lambda m: m[..., None]  # noqa: E731
     B = ro.shape[0]
 
-    hit = traverse(scene, dyn.world, ro, rd, active=active)
+    hit = trace(scene, dyn, ro, rd, active=active, wide_depth=wide_depth)
     live = hit.intersected
 
     # sky for misses (raytracer.h:89)
@@ -108,10 +109,11 @@ def _shade_level(scene, dyn, ro, rd, weight, pixel, active, width):
         fl = from_light / f3(dist)
         sro = lpos + EPS * fl
         shadow_active = live & facing & (diffuse > 0.0)
-        shadow = traverse(scene, dyn.world,
-                          jnp.broadcast_to(sro, ro.shape), fl,
-                          t_max=dist - 2.0 * EPS,
-                          active=shadow_active, any_hit=True)
+        shadow = trace(scene, dyn,
+                       jnp.broadcast_to(sro, ro.shape), fl,
+                       t_max=dist - 2.0 * EPS,
+                       active=shadow_active, any_hit=True,
+                       wide_depth=wide_depth)
         lit = shadow_active & ~shadow.intersected
         direct = direct + jnp.where(f3(lit),
                                     lcol * f3(vm.dot(-fl, collider_normal) / d2),
@@ -155,9 +157,10 @@ def _compact(ro, rd, w, pixel, active, cap: int):
     return (ro[order], rd[order], w[order], pixel[order], active[order])
 
 
-@partial(jax.jit, static_argnames=('width', 'height', 'max_depth'))
+@partial(jax.jit, static_argnames=('width', 'height', 'max_depth',
+                                   'wide_depth'))
 def render_whitted(scene, dyn, camera, *, width: int, height: int,
-                   max_depth: int):
+                   max_depth: int, wide_depth: int = 0):
     """One full Whitted frame -> f32[H*W, 3] (Raytracer::Render,
     src/raytracer.h:62-83 — one jitter-free ray per pixel)."""
     B = width * height
@@ -174,7 +177,8 @@ def render_whitted(scene, dyn, camera, *, width: int, height: int,
 
     for depth in range(max_depth):
         contrib, pix, children = _shade_level(scene, dyn, ro, rd, weight,
-                                              pixel, active, width)
+                                              pixel, active, width,
+                                              wide_depth)
         out = out.at[pix].add(contrib, mode='drop')
         if depth == max_depth - 1:
             break
@@ -213,9 +217,10 @@ class Raytracer:
         if should_clear:
             self.dyn = self.scene.dynamic_arrays()
         max_depth = 2 if should_clear else 7   # raytracer.h:65
+        wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
         self.frame = render_whitted(self.arrays, self.dyn, camera,
                                     width=self.width, height=self.height,
-                                    max_depth=max_depth)
+                                    max_depth=max_depth, wide_depth=wd)
 
     def finish(self):
         self.frame.block_until_ready()

@@ -32,7 +32,8 @@ def make_mesh(devices=None, axis_name: str = 'px') -> Mesh:
 
 
 def shard_render_sample(mesh: Mesh, *, nee: bool, cache_on: bool,
-                        max_bounces: int, width: int, height: int):
+                        max_bounces: int, width: int, height: int,
+                        wide_depth: int = 0):
     """Build a pjit-ted sharded sample function.
 
     Shards the pixel axis of the accumulators across `mesh`; scene/dyn/camera
@@ -59,7 +60,7 @@ def shard_render_sample(mesh: Mesh, *, nee: bool, cache_on: bool,
             sample_idx, rand_idx, guide_enabled,
             nee=nee, cache_on=cache_on, max_bounces=max_bounces,
             width=width, height=shard_h, row_offset=row0[0],
-            full_height=height, guide_axis=axis)
+            full_height=height, guide_axis=axis, wide_depth=wide_depth)
         # shards may exit their bounce loop at different depths; the global
         # stream counter is the max (matching the single-chip global any())
         ridx = jax.lax.pmax(ridx, axis)
@@ -109,11 +110,13 @@ class ShardedPathtracer:
         self._max_ray_depth = MAX_RAY_DEPTH
 
     def _fn(self, max_bounces):
-        key = (self.nee, self.cache, max_bounces)
+        wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
+        key = (self.nee, self.cache, max_bounces, wd)
         if key not in self._fns:
             self._fns[key] = shard_render_sample(
                 self.mesh, nee=self.nee, cache_on=self.cache,
-                max_bounces=max_bounces, width=self.width, height=self.height)
+                max_bounces=max_bounces, width=self.width, height=self.height,
+                wide_depth=wd)
         return self._fns[key]
 
     def render(self, camera, current_time: float = 0.0,

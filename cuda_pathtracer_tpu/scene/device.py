@@ -83,6 +83,9 @@ class DynamicArrays(NamedTuple):
     light_v2w: jnp.ndarray       # f32[TL, 3]
     light_normal_w: jnp.ndarray  # f32[TL, 3]
     light_emission_w: jnp.ndarray  # f32[TL, 3]
+    # fat-row 16-ary world BVH (accel/wide.py) — the TPU fast traversal path;
+    # shape [0, 128] disables it (engines fall back to the threaded walk)
+    wide_rows: jnp.ndarray       # f32[NW, 128]
 
 
 def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):

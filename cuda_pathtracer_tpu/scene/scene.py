@@ -89,6 +89,7 @@ class Model:
     triangle_start: int
     nr_triangles: int
     bvh: ThreadedBVH
+    wide: object = None  # accel.wide.WideBVH (model space, lazy)
 
 
 class Scene:
@@ -108,6 +109,8 @@ class Scene:
         self.attached = 0
         self.interactive_depth = 1
         self.interactive_samples = 1
+        self.wide_depth = 0   # stack bound of the wide world BVH (set by
+                              # dynamic_arrays; 0 = wide path unavailable)
         # concatenated triangle data (allVertices / allVertexData)
         self._v0 = np.zeros((0, 3), np.float32)
         self._v1 = np.zeros((0, 3), np.float32)
@@ -306,7 +309,9 @@ class Scene:
         self._bitangent = np.concatenate([self._bitangent, bitangent[perm]])
         self._uv = np.concatenate([self._uv, uv6[perm]])
         self._tri_mat = np.concatenate([self._tri_mat, tri_materials[perm]])
-        self.models.append(Model(start, nt, thread_bvh(nodes)))
+        from ..accel.wide import build_wide_bvh
+        wide = build_wide_bvh(nodes, v0[perm], v1[perm], v2[perm])
+        self.models.append(Model(start, nt, thread_bvh(nodes), wide))
         return len(self.models) - 1
 
     # ------------------------------------------------------------------
@@ -494,6 +499,21 @@ class Scene:
             lemis = emis[lmat]
         else:
             lv0 = lv1 = lv2 = lnrm = lemis = np.zeros((0, 3), np.float32)
+
+        # fat-row wide world BVH (TPU fast path)
+        if self.objects and all(m.wide is not None for m in self.models):
+            from ..accel.wide import build_world_wide
+            ww = build_world_wide(
+                [m.wide for m in self.models],
+                np.array([o.model_id for o in self.objects], np.int32),
+                transforms,
+                [int(b) for b in wb.wtri_base])
+            wide_rows = jnp.asarray(ww.rows)
+            self.wide_depth = ww.depth
+        else:
+            wide_rows = jnp.zeros((0, 128), jnp.float32)
+            self.wide_depth = 0
+
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
                             jnp.asarray(overrides),
@@ -501,6 +521,7 @@ class Scene:
                             jnp.asarray(lv1, jnp.float32),
                             jnp.asarray(lv2, jnp.float32),
                             jnp.asarray(lnrm, jnp.float32),
-                            jnp.asarray(lemis, jnp.float32))
+                            jnp.asarray(lemis, jnp.float32),
+                            wide_rows)
         self._dyn_cache = (self._version, dyn)
         return dyn
