@@ -33,7 +33,7 @@ from .shading import TraceState, shade, connect
 from ..core import camera as cam_mod
 from ..core import rng as _rng
 from ..ops.dispatch import trace
-from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH
+from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH, T_MAX
 
 
 class _BounceCarry(NamedTuple):
@@ -47,6 +47,12 @@ class _BounceCarry(NamedTuple):
     albedo_add: jnp.ndarray
     albedo_inc: jnp.ndarray
     rays_traced: jnp.ndarray  # i64-ish f32 counter: extend + connect rays
+    # pending shadow rays from the PREVIOUS bounce's shade — traced fused
+    # with this bounce's extension rays (one traversal instead of two)
+    shadow_o: jnp.ndarray
+    shadow_d: jnp.ndarray
+    shadow_tmax: jnp.ndarray
+    shadow_active: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
@@ -90,19 +96,48 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         rand_idx=rand_idx,
         albedo_add=jnp.zeros((B, 3), jnp.float32),
         albedo_inc=jnp.zeros(B, jnp.float32),
-        rays_traced=jnp.zeros((), jnp.float32))
+        rays_traced=jnp.zeros((), jnp.float32),
+        shadow_o=jnp.zeros((B, 3), jnp.float32),
+        shadow_d=jnp.zeros((B, 3), jnp.float32),
+        shadow_tmax=jnp.zeros(B, jnp.float32),
+        shadow_active=jnp.zeros(B, bool))
 
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
+    def _connect_pending(c: _BounceCarry, occluded):
+        """Apply the previous bounce's NEE (kernel_connect semantics): the
+        pending light recorded by that shade pass lands in accucolor iff the
+        shadow ray was unoccluded."""
+        add = c.shadow_active & ~occluded
+        return c.state._replace(
+            accucolor=c.state.accucolor
+            + jnp.where(add[..., None], c.state.light, 0.0))
+
     def body(c: _BounceCarry):
-        hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
-                    wide_depth=wide_depth)
-        out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
+        if nee:
+            # FUSED traversal: extension rays (closest hit) + previous
+            # bounce's shadow rays (stop-on-first-hit) in one 2B-lane call
+            hits = trace(scene, dyn,
+                         jnp.concatenate([c.ro, c.shadow_o]),
+                         jnp.concatenate([c.rd, c.shadow_d]),
+                         t_max=jnp.concatenate([jnp.full(B, T_MAX, jnp.float32),
+                                                c.shadow_tmax]),
+                         active=jnp.concatenate([c.alive, c.shadow_active]),
+                         stop_on_hit=jnp.concatenate([jnp.zeros(B, bool),
+                                                      jnp.ones(B, bool)]),
+                         wide_depth=wide_depth)
+            hit = jax.tree.map(lambda a: a[:B], hits)
+            st = _connect_pending(c, hits.intersected[B:])
+        else:
+            hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
+                        wide_depth=wide_depth)
+            st = c.state
+
+        out = shade(scene, dyn, c.ro, c.rd, hit, st, c.alive,
                     xs, ys, c.rand_idx, sample_idx, c.bounce,
                     nee, cache_on, radiance, width)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
-        st = connect(scene, dyn, out, wide_depth) if nee else out.state
 
         # sample-cache write for bounce < MAX_CACHE_DEPTH (kernels.h:536,795)
         w = jnp.minimum(c.bounce, MAX_CACHE_DEPTH - 1)
@@ -119,16 +154,28 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             cum_mask=upd(c.cache.cum_mask, out.cache_cum_mask))
 
         n_rays = jnp.sum(c.alive.astype(jnp.float32)) \
-            + jnp.sum(out.shadow_active.astype(jnp.float32))
+            + jnp.sum(c.shadow_active.astype(jnp.float32))
         return _BounceCarry(
             bounce=c.bounce + 1,
             ro=out.ray_o, rd=out.ray_d, alive=out.alive,
-            state=st, cache=cache, rand_idx=rand_idx2,
+            state=out.state, cache=cache, rand_idx=rand_idx2,
             albedo_add=c.albedo_add + out.albedo_add,
             albedo_inc=c.albedo_inc + out.albedo_inc,
-            rays_traced=c.rays_traced + n_rays)
+            rays_traced=c.rays_traced + n_rays,
+            shadow_o=out.shadow_o, shadow_d=out.shadow_d,
+            shadow_tmax=out.shadow_tmax, shadow_active=out.shadow_active)
 
     final = jax.lax.while_loop(cond, body, carry)
+
+    if nee:
+        # the last executed bounce's shadow rays are still pending
+        last = trace(scene, dyn, final.shadow_o, final.shadow_d,
+                     t_max=final.shadow_tmax, active=final.shadow_active,
+                     any_hit=True, wide_depth=wide_depth)
+        final = final._replace(
+            state=_connect_pending(final, last.intersected),
+            rays_traced=final.rays_traced
+            + jnp.sum(final.shadow_active.astype(jnp.float32)))
 
     # guiding update (src/pathtracer.h:292-296)
     radiance2 = update_radiance_state(radiance, final.cache,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import sampling
@@ -130,49 +131,59 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         bn_idx=jnp.full((B,), rand_idx, jnp.uint32),
         sample_idx=jnp.asarray(sample_idx, jnp.uint32))
 
-    # ---- hit decode ----
+    # ---- hit decode: every per-hit lookup is ONE fat-row gather ----
     pid = jnp.maximum(hit.prim_id, 0)
-    gid = jnp.maximum(dyn.world.tri_gid[pid], 0)
-    inst = jnp.maximum(dyn.world.tri_inst[pid], 0)
+    tri_meta = dyn.tri_meta[pid]                          # [B, 2] gid|inst
+    gid = jnp.maximum(tri_meta[..., 0], 0)
+    inst = jnp.maximum(tri_meta[..., 1], 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
     is_sphere = live & (hit.prim_type == PRIM_SPHERE)
     is_plane = live & (hit.prim_type == PRIM_PLANE)
 
     pos = ro + f3(hit.t) * rd
 
-    # material id with instance override (getColliderMaterialID, kernels.h:88-99)
-    n_sph = scene.sphere_mat.shape[0]
-    n_pla = scene.plane_mat.shape[0]
-    override = dyn.inst_mat[inst]
-    tri_mid = jnp.where(override >= 0, override, scene.tri_mat[gid])
-    mid = tri_mid
-    if n_sph:
-        mid = jnp.where(is_sphere, scene.sphere_mat[jnp.clip(pid, 0, n_sph - 1)], mid)
-    if n_pla:
-        mid = jnp.where(is_plane, scene.plane_mat[jnp.clip(pid, 0, n_pla - 1)], mid)
-    mid = jnp.clip(mid, 0, scene.mat_diffuse.shape[0] - 1)
+    trip = scene.tri_packed[gid]                          # [B, 16]
+    instp = dyn.inst_packed[inst]                         # [B, 16]
+    inst_tf = instp[..., 0:12].reshape(*instp.shape[:-1], 3, 4)
+    override = jax.lax.bitcast_convert_type(instp[..., 12], jnp.int32)
 
-    diffuse = scene.mat_diffuse[mid]
-    emission = scene.mat_emission[mid]
-    reflect_p = scene.mat_reflect[mid]
-    glossy = scene.mat_glossy[mid]
-    transmit_p = scene.mat_transmit[mid]
-    ior = scene.mat_ior[mid]
-    absorption = scene.mat_absorption[mid]
-    tex_id = scene.mat_tex[mid]
-    ntex_id = scene.mat_normal_tex[mid]
+    # material id with instance override (getColliderMaterialID, kernels.h:88-99)
+    n_sph = scene.sphere_packed.shape[0]
+    n_pla = scene.plane_packed.shape[0]
+    tri_mid = jax.lax.bitcast_convert_type(trip[..., 15], jnp.int32)
+    mid = jnp.where(override >= 0, override, tri_mid)
+    sphp = plap = None
+    if n_sph:
+        sphp = scene.sphere_packed[jnp.clip(pid, 0, n_sph - 1)]
+        mid = jnp.where(is_sphere,
+                        jax.lax.bitcast_convert_type(sphp[..., 4], jnp.int32),
+                        mid)
+    if n_pla:
+        plap = scene.plane_packed[jnp.clip(pid, 0, n_pla - 1)]
+        mid = jnp.where(is_plane,
+                        jax.lax.bitcast_convert_type(plap[..., 4], jnp.int32),
+                        mid)
+    mid = jnp.clip(mid, 0, scene.mat_packed.shape[0] - 1)
+
+    matp = scene.mat_packed[mid]                          # [B, 24]
+    diffuse = matp[..., 0:3]
+    emission = matp[..., 6:9]
+    reflect_p = matp[..., 9]
+    glossy = matp[..., 10]
+    transmit_p = matp[..., 11]
+    ior = matp[..., 12]
+    absorption = matp[..., 13:16]
+    tex_id = jax.lax.bitcast_convert_type(matp[..., 16], jnp.int32)
+    ntex_id = jax.lax.bitcast_convert_type(matp[..., 17], jnp.int32)
 
     # normal (getColliderNormal, kernels.h:101-118 + world transform :553-556)
-    tri_n = vm.normalize(
-        vm.transform_dir(dyn.inst_transform[inst], scene.tri_normal[gid]),
-        eps=1e-12)
-    normal = tri_n
+    nrm_model = trip[..., 0:3]
+    normal = vm.normalize(vm.transform_dir(inst_tf, nrm_model), eps=1e-12)
     if n_sph:
-        sph_c = scene.sphere_pos[jnp.clip(pid, 0, n_sph - 1)]
-        normal = jnp.where(f3(is_sphere), vm.normalize(pos - sph_c, eps=1e-12), normal)
+        normal = jnp.where(f3(is_sphere),
+                           vm.normalize(pos - sphp[..., 0:3], eps=1e-12), normal)
     if n_pla:
-        normal = jnp.where(f3(is_plane),
-                           scene.plane_normal[jnp.clip(pid, 0, n_pla - 1)], normal)
+        normal = jnp.where(f3(is_plane), plap[..., 0:3], normal)
     original_normal = normal
 
     inside = vm.dot(rd, original_normal) > 0.0
@@ -205,7 +216,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     tri9 = dyn.world.tris[pid]
     _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
                                       tri9[..., 6:9])
-    uvs = scene.tri_uv[gid]  # [B, 6]
+    uvs = trip[..., 9:15]  # [B, 6]
     w0 = 1.0 - tu - tv
     uv_u = uvs[..., 0] * w0 + uvs[..., 2] * tu + uvs[..., 4] * tv
     uv_v = uvs[..., 1] * w0 + uvs[..., 3] * tu + uvs[..., 5] * tv
@@ -217,13 +228,12 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
         ntexel = sample_bilinear(scene.textures, jnp.maximum(ntex_id, 0), uv_u, uv_v)
         tn = ntexel * 2.0 - 1.0
-        tang = scene.tri_tangent[gid]
-        bitang = scene.tri_bitangent[gid]
-        nrm_model = scene.tri_normal[gid]
+        tang = trip[..., 3:6]
+        bitang = trip[..., 6:9]
         tex_normal = (tn[..., 0:1] * tang + tn[..., 1:2] * bitang
                       + tn[..., 2:3] * nrm_model)
         tex_normal = vm.normalize(
-            vm.transform_dir(dyn.inst_transform[inst], tex_normal), eps=1e-12)
+            vm.transform_dir(inst_tf, tex_normal), eps=1e-12)
         flip = vm.dot(tex_normal, collider_normal) < 0.0
         tex_normal = jnp.where(f3(flip), -tex_normal, tex_normal)
         collider_normal = jnp.where(f3(has_nmap), tex_normal, collider_normal)
@@ -275,7 +285,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     shadow_tmax = jnp.zeros(B, jnp.float32)
     shadow_active = jnp.zeros(B, bool)
     light_out = state.light
-    n_lights = int(dyn.light_v0w.shape[0])
+    n_lights = int(dyn.light_packed.shape[0])
     if nee and n_lights > 0:
         valid = jnp.zeros(B, jnp.float32)
         success = jnp.zeros(B, jnp.int32)
@@ -283,9 +293,9 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
             rl, rand_state = sampling.masked_rand(rand_state, take_diffuse)
             pick = jnp.mod((rl * n_lights).astype(jnp.uint32),
                            jnp.uint32(n_lights)).astype(jnp.int32)
-            centroid = (dyn.light_v0w[pick] + dyn.light_v1w[pick]
-                        + dyn.light_v2w[pick]) / 3.0
-            lnorm = dyn.light_normal_w[pick]
+            lp = dyn.light_packed[pick]                  # one gather per pick
+            centroid = (lp[..., 0:3] + lp[..., 3:6] + lp[..., 6:9]) / 3.0
+            lnorm = lp[..., 9:12]
             from_light = vm.normalize(pos - centroid, eps=1e-12)
             ok = take_diffuse & (vm.dot(lnorm, from_light) > 0.0)
             valid = valid + ok.astype(jnp.float32)
@@ -298,9 +308,10 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         lu = jnp.where(fold, 1.0 - lu, lu)
         lv = jnp.where(fold, 1.0 - lv, lv)
 
-        lv0 = dyn.light_v0w[success]
-        v0v1 = dyn.light_v1w[success] - lv0
-        v0v2 = dyn.light_v2w[success] - lv0
+        lps = dyn.light_packed[success]
+        lv0 = lps[..., 0:3]
+        v0v1 = lps[..., 3:6] - lv0
+        v0v2 = lps[..., 6:9] - lv0
         cr = vm.cross(v0v1, v0v2)
         cr_len = jnp.maximum(vm.length(cr), 1e-20)
         sample_point = lv0 + f3(lu) * v0v1 + f3(lv) * v0v2
@@ -315,7 +326,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         unoccludable = has_light & (nl > 0.0) \
             & (vm.dot(-sdir, surface_normal) > 0.0) & (lnl > 0.0)
 
-        l_emis = dyn.light_emission_w[success]
+        l_emis = lps[..., 12:15]
         area = 0.5 * cr_len
         sa = lnl * area * inv_slen * inv_slen
         contrib = mask * f3(nl * sa * n_lights * (valid / 4.0)) * brdf * l_emis
@@ -332,7 +343,9 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     guided = take_diffuse & jnp.asarray(cache_on) & is_tri \
         & (vm.dot(collider_normal, original_normal) > 0.0)
     rc = radiance.cache[gid]
-    rt = radiance.total[gid]
+    # radianceTotal is identically sum(cache) under our update rule — derive
+    # it instead of a second gather (kernels.h:899 maintains it incrementally)
+    rt = jnp.sum(rc, axis=-1)
     gs, rand_state = sampling.masked_rand(rand_state, guided)
     gr0, rand_state = sampling.masked_rand(rand_state, guided)
     gr1, rand_state = sampling.masked_rand(rand_state, guided)

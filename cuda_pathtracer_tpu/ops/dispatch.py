@@ -11,9 +11,10 @@ from .traverse_wide import traverse_wide
 
 
 def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
-          any_hit: bool = False, wide_depth: int = 0) -> Hit:
+          any_hit: bool = False, stop_on_hit=None, wide_depth: int = 0) -> Hit:
     if wide_depth > 0:
         return traverse_wide(scene, dyn.wide_rows, wide_depth, ro, rd,
-                             t_max=t_max, active=active, any_hit=any_hit)
+                             t_max=t_max, active=active, any_hit=any_hit,
+                             stop_on_hit=stop_on_hit)
     return traverse(scene, dyn.world, ro, rd, t_max=t_max, active=active,
-                    any_hit=any_hit)
+                    any_hit=any_hit, stop_on_hit=stop_on_hit)

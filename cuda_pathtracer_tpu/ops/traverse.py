@@ -68,9 +68,11 @@ def _leaf_intersect(world: WorldArrays, ro, rd, leaf_start, leaf_count, t_best):
     hit, t, _, _ = isect.ray_triangle(ro[..., None, :], rd[..., None, :], v0, v1, v2)
     valid = hit & (lanes < leaf_count[..., None]) & (t < t_best[..., None])
     t_masked = jnp.where(valid, t, T_MAX)
-    j = jnp.argmin(t_masked, axis=-1)
-    best_t = jnp.take_along_axis(t_masked, j[..., None], axis=-1)[..., 0]
-    best_idx = jnp.take_along_axis(idx, j[..., None], axis=-1)[..., 0]
+    # min-reduce + equality re-select (per-lane take_along_axis costs a full
+    # gather step on TPU)
+    best_t = jnp.min(t_masked, axis=-1)
+    best_idx = jnp.min(jnp.where(t_masked == best_t[..., None], idx,
+                                 jnp.int32(2**30)), axis=-1)
     any_better = jnp.any(valid, axis=-1)
     return best_t, best_idx, any_better
 
@@ -84,37 +86,34 @@ def _primitives_prepass(scene, ro, rd, t_init, any_hit: bool):
     pid = jnp.full(B, -1, jnp.int32)
     found = jnp.zeros(B, bool)
 
+    def _fold(hit, ts, t, ptype, pid, found, tag):
+        better = hit & (ts < t[..., None])
+        ts_m = jnp.where(better, ts, T_MAX)
+        bt = jnp.min(ts_m, axis=-1)
+        j = jnp.min(jnp.where(ts_m == bt[..., None],
+                              jnp.arange(ts.shape[-1], dtype=jnp.int32),
+                              jnp.int32(2**30)), axis=-1)
+        got = jnp.any(better, axis=-1)
+        return (jnp.where(got, bt, t),
+                jnp.where(got, tag, ptype),
+                jnp.where(got, j, pid),
+                found | got)
+
     if scene.sphere_pos.shape[0] > 0:
         hit, ts = isect.ray_sphere(ro[..., None, :], rd[..., None, :],
                                    scene.sphere_pos, scene.sphere_radius)  # [B, S]
-        better = hit & (ts < t[..., None])
-        ts_m = jnp.where(better, ts, T_MAX)
-        j = jnp.argmin(ts_m, axis=-1)
-        bt = jnp.take_along_axis(ts_m, j[..., None], axis=-1)[..., 0]
-        got = jnp.any(better, axis=-1)
-        t = jnp.where(got, bt, t)
-        ptype = jnp.where(got, PRIM_SPHERE, ptype)
-        pid = jnp.where(got, j.astype(jnp.int32), pid)
-        found = found | got
+        t, ptype, pid, found = _fold(hit, ts, t, ptype, pid, found, PRIM_SPHERE)
 
     if scene.plane_normal.shape[0] > 0:
         hit, ts = isect.ray_plane(ro[..., None, :], rd[..., None, :],
                                   scene.plane_normal, scene.plane_d)
-        better = hit & (ts < t[..., None])
-        ts_m = jnp.where(better, ts, T_MAX)
-        j = jnp.argmin(ts_m, axis=-1)
-        bt = jnp.take_along_axis(ts_m, j[..., None], axis=-1)[..., 0]
-        got = jnp.any(better, axis=-1)
-        t = jnp.where(got, bt, t)
-        ptype = jnp.where(got, PRIM_PLANE, ptype)
-        pid = jnp.where(got, j.astype(jnp.int32), pid)
-        found = found | got
+        t, ptype, pid, found = _fold(hit, ts, t, ptype, pid, found, PRIM_PLANE)
 
     return t, ptype, pid, found
 
 
 def traverse(scene, world: WorldArrays, ro, rd, t_max=None, active=None,
-             any_hit: bool = False) -> Hit:
+             any_hit: bool = False, stop_on_hit=None) -> Hit:
     """Closest-hit (or any-hit) trace of a ray batch against the scene.
 
     scene: device scene arrays providing sphere_pos/sphere_radius,
@@ -129,11 +128,14 @@ def traverse(scene, world: WorldArrays, ro, rd, t_max=None, active=None,
 
     t0, ptype0, pid0, found0 = _primitives_prepass(scene, ro, rd, t_max, any_hit)
 
+    if stop_on_hit is None:
+        stop_on_hit = jnp.full(B, bool(any_hit))
+
     inv_rd = isect.safe_inv_dir(rd)
     n_nodes = world.node_box.shape[0]
 
-    # any-hit can stop a lane as soon as the prepass found an occluder
-    start_node = jnp.where(active & ~(jnp.asarray(any_hit) & found0),
+    # stop-on-hit lanes can stop as soon as the prepass found an occluder
+    start_node = jnp.where(active & ~(stop_on_hit & found0),
                            0, -1).astype(jnp.int32)
 
     def cond(state):
@@ -158,8 +160,7 @@ def traverse(scene, world: WorldArrays, ro, rd, t_max=None, active=None,
         tri_found = tri_found | take
 
         nxt = jnp.where(is_leaf | ~box_hit, miss, node + 1)
-        if any_hit:
-            nxt = jnp.where(take, -1, nxt)  # lane satisfied: stop
+        nxt = jnp.where(stop_on_hit & take, -1, nxt)  # lane satisfied: stop
         node = jnp.where(live, nxt, node)
         return node, t, tri_idx, tri_found
 

@@ -28,10 +28,15 @@ from ..accel.wide import (ROW, ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
 
 
 def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
-                  active=None, any_hit: bool = False) -> Hit:
+                  active=None, any_hit: bool = False,
+                  stop_on_hit=None) -> Hit:
     """Closest-hit / any-hit trace against the fat-row 16-ary BVH.
 
     wide_rows: f32[N, 128] device table; depth: static stack bound.
+    `stop_on_hit` (bool[B], optional) makes individual lanes terminate at
+    their first intersection — this lets shadow rays and extension rays share
+    ONE fused traversal call (halving the per-iteration gather cost of a
+    bounce). `any_hit=True` is the uniform version.
     Returns Hit with prim_id = world-triangle index (as in the narrow path).
     """
     B = ro.shape[:-1]
@@ -43,8 +48,11 @@ def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
 
     t0, ptype0, pid0, found0 = _primitives_prepass(scene, ro, rd, t_max, any_hit)
 
+    if stop_on_hit is None:
+        stop_on_hit = jnp.full(B, bool(any_hit))
+
     inv_rd = isect.safe_inv_dir(rd)
-    start = jnp.where(active & ~(jnp.asarray(any_hit) & found0),
+    start = jnp.where(active & ~(stop_on_hit & found0),
                       0, -1).astype(jnp.int32)
 
     lane12 = jnp.arange(LEAF_MAX, dtype=jnp.int32)
@@ -72,12 +80,14 @@ def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
                                          tris[..., 6:9])
         lv = h & (lane12 < ntr[..., None]) & (tt < t[..., None]) \
             & is_leaf[..., None]
+        # min-reduce + equality re-select instead of argmin/take_along_axis:
+        # per-lane dynamic gathers cost as much as a full table gather on TPU
         tt = jnp.where(lv, tt, T_MAX)
-        j = jnp.argmin(tt, axis=-1)
-        leaf_best_t = jnp.take_along_axis(tt, j[..., None], axis=-1)[..., 0]
+        leaf_best_t = jnp.min(tt, axis=-1)
         gids = jax.lax.bitcast_convert_type(
             row[..., LEAF_GIDS:LEAF_GID_MAX], jnp.int32)
-        leaf_gid = jnp.take_along_axis(gids, j[..., None], axis=-1)[..., 0]
+        leaf_gid = jnp.min(jnp.where(tt == leaf_best_t[..., None], gids,
+                                     jnp.int32(2**30)), axis=-1)
         leaf_found = jnp.any(lv, axis=-1)
         t = jnp.where(leaf_found, leaf_best_t, t)
         best = jnp.where(leaf_found, leaf_gid, c['best'])
@@ -98,15 +108,19 @@ def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
         n_child = tag.astype(jnp.int32)
         chit = chit & (jnp.arange(ARITY, dtype=jnp.int32) < n_child[..., None])
         tsel = jnp.where(chit, tmin, T_MAX)
-        csel = jnp.argmin(tsel, axis=-1)                  # nearest hit child
+        tbest_child = jnp.min(tsel, axis=-1)
+        is_sel = (tsel == tbest_child[..., None]) & chit
+        # break ties toward the lowest slot by selecting the min slot index
+        sel_slot = jnp.min(jnp.where(is_sel,
+                                     jnp.arange(ARITY, dtype=jnp.int32),
+                                     jnp.int32(ARITY)), axis=-1)
+        sel_onehot = jnp.arange(ARITY, dtype=jnp.int32) == sel_slot[..., None]
         has_child = jnp.any(chit, axis=-1)
         refs = jax.lax.bitcast_convert_type(
             row[..., INNER_REFS:INNER_REFS + ARITY], jnp.int32)
-        child = jnp.take_along_axis(refs, csel[..., None], axis=-1)[..., 0]
+        child = jnp.sum(jnp.where(sel_onehot, refs, 0), axis=-1)
         nhits = jnp.sum(chit, axis=-1)
-        sel_bit = jnp.take_along_axis(
-            jnp.broadcast_to(slot_bits, chit.shape), csel[..., None],
-            axis=-1)[..., 0]
+        sel_bit = jnp.left_shift(jnp.int32(1), jnp.minimum(sel_slot, ARITY - 1))
         new_mask = c['cur_mask'] | sel_bit
 
         # push (cur, new_mask) when siblings remain
@@ -118,20 +132,13 @@ def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
         stack_mask = jnp.where(at_sp, new_mask[..., None], c['stack_mask'])
         sp = sp + do_push.astype(jnp.int32)
 
-        # descend / pop
-        descend = is_inner & has_child
-        if any_hit:
-            # a satisfied lane stops immediately
-            descend = descend & ~found
-        # pop path
-        can_pop = live & ~descend & (sp > 0)
-        if any_hit:
-            can_pop = can_pop & ~found
-        pop_i = jnp.maximum(sp - 1, 0)
-        popped_node = jnp.take_along_axis(stack_node, pop_i[..., None],
-                                          axis=-1)[..., 0]
-        popped_mask = jnp.take_along_axis(stack_mask, pop_i[..., None],
-                                          axis=-1)[..., 0]
+        # descend / pop (satisfied stop-on-hit lanes halt immediately)
+        stopped = stop_on_hit & found
+        descend = is_inner & has_child & ~stopped
+        can_pop = live & ~descend & (sp > 0) & ~stopped
+        pop_onehot = iota == jnp.maximum(sp - 1, 0)[..., None]
+        popped_node = jnp.sum(jnp.where(pop_onehot, stack_node, 0), axis=-1)
+        popped_mask = jnp.sum(jnp.where(pop_onehot, stack_mask, 0), axis=-1)
         sp = sp - can_pop.astype(jnp.int32)
 
         nxt = jnp.where(descend, child,

@@ -65,6 +65,17 @@ class SceneArrays(NamedTuple):
     sky_img: jnp.ndarray         # f32[Hs, Ws, 3] equirect, bottom-row-first
     blue_noise: jnp.ndarray      # f32[Hb, Wb]
 
+    # ---- packed single-gather lookup rows (TPU optimization: each gather
+    # step costs ~ms at wavefront width regardless of row size, so every
+    # per-hit lookup is one fat row instead of many thin ones) ----
+    mat_packed: jnp.ndarray      # f32[M, 24]: diffuse|specular|emission|
+                                 #   reflect|glossy|transmit|ior|absorption|
+                                 #   tex(bitcast)|ntex(bitcast)
+    tri_packed: jnp.ndarray      # f32[T, 16]: normal|tangent|bitangent|uv6|
+                                 #   mat(bitcast)
+    sphere_packed: jnp.ndarray   # f32[S, 8]: pos|radius|mat(bitcast)
+    plane_packed: jnp.ndarray    # f32[P, 8]: normal|d|mat(bitcast)
+
     # path guiding radiance cache (RadianceCache, types.h:98-104); mutable —
     # threaded through the render step functionally
     # (kept in DynamicArrays? no: per-triangle, static shape) ->
@@ -86,6 +97,9 @@ class DynamicArrays(NamedTuple):
     # fat-row 16-ary world BVH (accel/wide.py) — the TPU fast traversal path;
     # shape [0, 128] disables it (engines fall back to the threaded walk)
     wide_rows: jnp.ndarray       # f32[NW, 128]
+    light_packed: jnp.ndarray    # f32[TL, 16]: v0|v1|v2|normal|emission
+    inst_packed: jnp.ndarray     # f32[I, 16]: transform(12)|override(bitcast)
+    tri_meta: jnp.ndarray        # i32[WT, 2]: gid|inst
 
 
 def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):

@@ -425,6 +425,44 @@ class Scene:
         sp = self.spheres
         pl = self.planes
         pls = self.point_lights
+
+        # ---- packed single-gather rows ----
+        def _i2f(a):
+            return np.asarray(a, np.int32).view(np.float32)
+
+        M = len(mats)
+        mat_packed = np.zeros((M, 24), np.float32)
+        for i, m in enumerate(mats):
+            mat_packed[i, 0:3] = m.diffuse_color
+            mat_packed[i, 3:6] = m.specular_color
+            mat_packed[i, 6:9] = m.emission
+            mat_packed[i, 9] = m.reflect
+            mat_packed[i, 10] = m.glossy
+            mat_packed[i, 11] = m.transmit
+            mat_packed[i, 12] = m.refractive_index
+            mat_packed[i, 13:16] = m.absorption
+            mat_packed[i, 16] = _i2f([m.texture])[0]
+            mat_packed[i, 17] = _i2f([m.normal_texture])[0]
+
+        T = len(self._tri_mat)
+        tri_packed = np.zeros((T, 16), np.float32)
+        tri_packed[:, 0:3] = self._normal
+        tri_packed[:, 3:6] = self._tangent
+        tri_packed[:, 6:9] = self._bitangent
+        tri_packed[:, 9:15] = self._uv
+        tri_packed[:, 15] = _i2f(self._tri_mat)
+
+        sphere_packed = np.zeros((len(sp), 8), np.float32)
+        for i, s in enumerate(sp):
+            sphere_packed[i, 0:3] = s.pos
+            sphere_packed[i, 3] = s.radius
+            sphere_packed[i, 4] = _i2f([s.material])[0]
+        plane_packed = np.zeros((len(pl), 8), np.float32)
+        for i, p in enumerate(pl):
+            plane_packed[i, 0:3] = p.normal
+            plane_packed[i, 3] = p.d
+            plane_packed[i, 4] = _i2f([p.material])[0]
+
         return SceneArrays(
             tri_normal=jnp.asarray(self._normal),
             tri_tangent=jnp.asarray(self._tangent),
@@ -455,6 +493,10 @@ class Scene:
             light_inst=jnp.asarray(light_inst),
             sky_img=jnp.asarray(sky),
             blue_noise=jnp.asarray(bn),
+            mat_packed=jnp.asarray(mat_packed),
+            tri_packed=jnp.asarray(tri_packed),
+            sphere_packed=jnp.asarray(sphere_packed),
+            plane_packed=jnp.asarray(plane_packed),
         )
 
     def dynamic_arrays(self) -> DynamicArrays:
@@ -514,6 +556,25 @@ class Scene:
             wide_rows = jnp.zeros((0, 128), jnp.float32)
             self.wide_depth = 0
 
+        # packed single-gather rows
+        tl = len(lv0)
+        light_packed = np.zeros((tl, 16), np.float32)
+        if tl:
+            light_packed[:, 0:3] = lv0
+            light_packed[:, 3:6] = lv1
+            light_packed[:, 6:9] = lv2
+            light_packed[:, 9:12] = lnrm
+            light_packed[:, 12:15] = lemis
+        n_inst = len(self.objects)
+        inst_packed = np.zeros((n_inst, 16), np.float32)
+        if n_inst:
+            inst_packed[:, 0:12] = transforms.reshape(n_inst, 12)
+            inst_packed[:, 12] = np.asarray(overrides, np.int32).view(np.float32)
+        if self.objects:
+            tri_meta = np.stack([wb.tri_gid, wb.tri_inst], axis=1)
+        else:
+            tri_meta = np.zeros((0, 2), np.int32)
+
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
                             jnp.asarray(overrides),
@@ -522,6 +583,9 @@ class Scene:
                             jnp.asarray(lv2, jnp.float32),
                             jnp.asarray(lnrm, jnp.float32),
                             jnp.asarray(lemis, jnp.float32),
-                            wide_rows)
+                            wide_rows,
+                            jnp.asarray(light_packed),
+                            jnp.asarray(inst_packed),
+                            jnp.asarray(tri_meta))
         self._dyn_cache = (self._version, dyn)
         return dyn
