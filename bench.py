@@ -23,11 +23,14 @@ BASELINE_MRAYS = 80.0
 
 
 def main():
+    import os
     width, height = 1920, 1080
-    warmup_samples = 2
-    bench_samples = 16
+    warmup_samples = 1
+    bench_samples = int(os.environ.get('BENCH_SAMPLES', '4'))
 
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_CACHE_DIR', '/tmp/jaxcache'))
     from cuda_pathtracer_tpu.scene.builder import get_scene
     from cuda_pathtracer_tpu.models.pathtracer import Pathtracer
     from cuda_pathtracer_tpu.scene import state
@@ -44,13 +47,13 @@ def main():
         pt.render(camera, should_clear=False)
     pt.finish()
 
-    rays_before = float(pt.rays_traced)
+    rays_before = float(pt.rays_traced)  # forces a full device sync
     t0 = time.perf_counter()
     for _ in range(bench_samples):
         pt.render(camera, should_clear=False)
-    pt.finish()
+    rays_after = float(pt.rays_traced)   # sync again: real wall time
     dt = time.perf_counter() - t0
-    rays = float(pt.rays_traced) - rays_before
+    rays = rays_after - rays_before
 
     mrays = rays / dt / 1e6
     total, has_nan, has_neg = pt.energy()

@@ -63,6 +63,45 @@ class SampleCache(NamedTuple):
             jnp.ones((d, n_lanes, 3), jnp.float32))
 
 
+def accumulate_buckets(state_tris: int, cache: SampleCache,
+                       total_energy: jnp.ndarray):
+    """The scatter half of the guiding update (kernel_update_buckets,
+    kernels.h:863-882): per-(triangle, bucket) energy sums and counts via one
+    segment_sum. Exposed separately so band-split or sharded renders can
+    combine partial sums BEFORE the (nonlinear) EMA propagate."""
+    n_tris = state_tris
+    terminated_before = jnp.cumsum(
+        (cache.stype == SAMPLE_TERMINATE).astype(jnp.int32), axis=0)
+    alive_chain = terminated_before - (cache.stype == SAMPLE_TERMINATE)
+    valid = (cache.stype == SAMPLE_BUCKET) & (alive_chain == 0)
+
+    energy = jnp.minimum(
+        ENERGY_CLAMP,
+        vm.luminance(total_energy[None, :, :] / cache.cum_mask))
+    energy = jnp.where(valid, energy, 0.0)
+    weight = valid.astype(jnp.float32)
+
+    seg = (cache.tri * GUIDE_BUCKETS + cache.bucket).reshape(-1)
+    seg = jnp.where(valid.reshape(-1), seg, n_tris * GUIDE_BUCKETS)
+    sums = jax.ops.segment_sum(energy.reshape(-1), seg,
+                               num_segments=n_tris * GUIDE_BUCKETS + 1)
+    counts = jax.ops.segment_sum(weight.reshape(-1), seg,
+                                 num_segments=n_tris * GUIDE_BUCKETS + 1)
+    return (sums[:-1].reshape(n_tris, GUIDE_BUCKETS),
+            counts[:-1].reshape(n_tris, GUIDE_BUCKETS))
+
+
+def propagate(state: RadianceState, add_sum, add_count, enabled) -> RadianceState:
+    """The EMA half (kernel_propagate_buckets, kernels.h:884-905)."""
+    has = add_count >= EPS
+    incoming = add_sum / jnp.maximum(add_count, 1.0)
+    new_vals = jnp.clip(ALPHA * state.cache + (1.0 - ALPHA) * incoming,
+                        VALUE_MIN, VALUE_MAX)
+    new_cache = jnp.where(has & enabled, new_vals, state.cache)
+    new_total = state.total + jnp.sum(new_cache - state.cache, axis=-1)
+    return RadianceState(new_cache, new_total)
+
+
 def update_radiance_state(state: RadianceState, cache: SampleCache,
                           total_energy: jnp.ndarray,
                           enabled, axis_name: str | None = None) -> RadianceState:
@@ -77,37 +116,8 @@ def update_radiance_state(state: RadianceState, cache: SampleCache,
     not be, since the EMA+clamp is nonlinear).
     """
     n_tris = state.cache.shape[0]
-
-    # a bounce entry contributes iff it is BUCKET and no TERMINATE precedes it
-    terminated_before = jnp.cumsum(
-        (cache.stype == SAMPLE_TERMINATE).astype(jnp.int32), axis=0)
-    # shift: TERMINATE at depth d stops processing at d itself
-    alive_chain = terminated_before - (cache.stype == SAMPLE_TERMINATE)
-    valid = (cache.stype == SAMPLE_BUCKET) & (alive_chain == 0)
-
-    energy = jnp.minimum(
-        ENERGY_CLAMP,
-        vm.luminance(total_energy[None, :, :] / cache.cum_mask))
-    energy = jnp.where(valid, energy, 0.0)
-    weight = valid.astype(jnp.float32)
-
-    seg = (cache.tri * GUIDE_BUCKETS + cache.bucket).reshape(-1)
-    seg = jnp.where(valid.reshape(-1), seg, n_tris * GUIDE_BUCKETS)  # spill bin
-    sums = jax.ops.segment_sum(energy.reshape(-1), seg,
-                               num_segments=n_tris * GUIDE_BUCKETS + 1)
-    counts = jax.ops.segment_sum(weight.reshape(-1), seg,
-                                 num_segments=n_tris * GUIDE_BUCKETS + 1)
-    add_sum = sums[:-1].reshape(n_tris, GUIDE_BUCKETS)
-    add_count = counts[:-1].reshape(n_tris, GUIDE_BUCKETS)
+    add_sum, add_count = accumulate_buckets(n_tris, cache, total_energy)
     if axis_name is not None:
         add_sum = jax.lax.psum(add_sum, axis_name)
         add_count = jax.lax.psum(add_count, axis_name)
-
-    # propagate (kernel_propagate_buckets, kernels.h:884-905)
-    has = add_count >= EPS
-    incoming = add_sum / jnp.maximum(add_count, 1.0)
-    new_vals = jnp.clip(ALPHA * state.cache + (1.0 - ALPHA) * incoming,
-                        VALUE_MIN, VALUE_MAX)
-    new_cache = jnp.where(has & enabled, new_vals, state.cache)
-    new_total = state.total + jnp.sum(new_cache - state.cache, axis=-1)
-    return RadianceState(new_cache, new_total)
+    return propagate(state, add_sum, add_count, enabled)

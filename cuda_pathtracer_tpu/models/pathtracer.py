@@ -57,13 +57,13 @@ class _BounceCarry(NamedTuple):
 
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
-                                   'guide_axis', 'wide_depth'))
+                                   'guide_axis', 'wide_depth', 'defer_guide'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
                   row_offset=0, guide_axis: str | None = None,
-                  wide_depth: int = 0):
+                  wide_depth: int = 0, defer_guide: bool = False):
     """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
 
     Mirrors one iteration of the sample loop in Pathtracer::Render
@@ -177,10 +177,18 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             rays_traced=final.rays_traced
             + jnp.sum(final.shadow_active.astype(jnp.float32)))
 
-    # guiding update (src/pathtracer.h:292-296)
-    radiance2 = update_radiance_state(radiance, final.cache,
-                                      final.state.accucolor, guide_enabled,
-                                      axis_name=guide_axis)
+    # guiding update (src/pathtracer.h:292-296). With defer_guide the raw
+    # bucket sums are returned instead, so a band-split render can combine
+    # partial sums and apply the (nonlinear) EMA exactly once per sample.
+    n_tris = radiance.cache.shape[0]
+    if defer_guide:
+        from .guiding import accumulate_buckets
+        radiance2 = accumulate_buckets(n_tris, final.cache,
+                                       final.state.accucolor)
+    else:
+        radiance2 = update_radiance_state(radiance, final.cache,
+                                          final.state.accucolor, guide_enabled,
+                                          axis_name=guide_axis)
 
     lum2 = film.accumulate(lum, final.state.accucolor)
     alb2 = film.accumulate_albedo(alb, final.albedo_add, final.albedo_inc)
@@ -194,11 +202,21 @@ class Pathtracer:
     src/pathtracer.h:46-71). Host-side state machine; all compute is jitted.
     """
 
+    # a single dispatch handles at most this many ray lanes; larger frames
+    # are rendered in horizontal bands (bounded device memory — the 32-bounce
+    # fused program at 2M+ lanes exceeds a v5e's HBM)
+    MAX_LANES_PER_DISPATCH = 360_000
+
     def __init__(self, scene, width: int = 640, height: int = 480,
                  skydome: str | None = None, blue_noise: str | None = None):
         self.scene = scene
         self.width = width
         self.height = height
+        rows_per_band = max(1, self.MAX_LANES_PER_DISPATCH // width)
+        self.bands = -(-height // rows_per_band)
+        while height % self.bands:   # bands must divide the height evenly
+            self.bands += 1
+        self.band_h = height // self.bands
         self.nee = True        # HNEE (src/pathtracer.h:213)
         self.cache = True      # HCACHE
         self.arrays = scene.to_device(skydome=skydome, blue_noise=blue_noise)
@@ -232,18 +250,51 @@ class Pathtracer:
         # round the wide-BVH stack bound up to a multiple of 4 so small scene
         # edits don't force recompiles
         wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
+        from .guiding import propagate as guide_propagate
         for _ in range(n_samples):
             guide = jnp.asarray((not should_clear) and self.cache
                                 and self.sample_idx < 100)
-            self.lum, self.alb, self.radiance, ridx, rays = render_sample(
-                self.arrays, self.dyn, camera, self.radiance,
-                self.lum, self.alb,
-                jnp.asarray(self.sample_idx, jnp.uint32),
-                jnp.asarray(self.rand_idx, jnp.uint32),
-                guide,
-                nee=self.nee, cache_on=self.cache,
-                max_bounces=max_bounces,
-                width=self.width, height=self.height, wide_depth=wd)
+            if self.bands == 1:
+                self.lum, self.alb, self.radiance, ridx, rays = render_sample(
+                    self.arrays, self.dyn, camera, self.radiance,
+                    self.lum, self.alb,
+                    jnp.asarray(self.sample_idx, jnp.uint32),
+                    jnp.asarray(self.rand_idx, jnp.uint32),
+                    guide,
+                    nee=self.nee, cache_on=self.cache,
+                    max_bounces=max_bounces,
+                    width=self.width, height=self.height, wide_depth=wd)
+            else:
+                # band-split frame: partial guiding sums combined, EMA once
+                lum_parts, alb_parts = [], []
+                gsum = gcnt = None
+                ridx = jnp.asarray(self.rand_idx, jnp.uint32)
+                rays = jnp.zeros((), jnp.float32)
+                bl = self.band_h * self.width
+                for b in range(self.bands):
+                    sl = slice(b * bl, (b + 1) * bl)
+                    lum_b, alb_b, (s_b, c_b), ridx_b, rays_b = render_sample(
+                        self.arrays, self.dyn, camera, self.radiance,
+                        self.lum[sl], self.alb[sl],
+                        jnp.asarray(self.sample_idx, jnp.uint32),
+                        jnp.asarray(self.rand_idx, jnp.uint32),
+                        guide,
+                        nee=self.nee, cache_on=self.cache,
+                        max_bounces=max_bounces,
+                        width=self.width, height=self.band_h,
+                        full_height=self.height,
+                        row_offset=b * self.band_h,
+                        wide_depth=wd, defer_guide=True)
+                    lum_parts.append(lum_b)
+                    alb_parts.append(alb_b)
+                    gsum = s_b if gsum is None else gsum + s_b
+                    gcnt = c_b if gcnt is None else gcnt + c_b
+                    ridx = jnp.maximum(ridx, ridx_b)
+                    rays = rays + rays_b
+                self.lum = jnp.concatenate(lum_parts)
+                self.alb = jnp.concatenate(alb_parts)
+                self.radiance = guide_propagate(self.radiance, gsum, gcnt,
+                                                guide)
             # keep counters as device scalars: no host sync per sample, so
             # samples pipeline asynchronously like the reference's stream
             self.rand_idx = ridx

@@ -93,13 +93,28 @@ def add_statue(scene, material: int, scale=2.0, offset=(3, 0, 4.0)) -> int:
 
 
 def add_high_poly_statue(scene, material: int, target_tris=2_000_000) -> int:
-    """~2M-tri displaced sphere standing in for 2Mtris.obj (lucy scan)."""
+    """~2M-tri model standing in for 2Mtris.obj (lucy scan): displaced
+    icospheres stacked until the triangle budget is met (subdiv-8 spheres are
+    1.31M tris each)."""
     subdiv = 1
-    while 20 * 4 ** (subdiv + 1) < target_tris:
+    while 20 * 4 ** (subdiv + 1) <= target_tris:
         subdiv += 1
-    v0, v1, v2 = _displaced_sphere(subdiv + 1, seed=2, amp=0.25, freq=6.0)
-    s = np.float32(8.0)
-    return scene.add_mesh(v0 * s, v1 * s, v2 * s, material)
+    parts = []
+    total = 0
+    seed = 2
+    offset = 0.0
+    while total < target_tris:
+        v0, v1, v2 = _displaced_sphere(subdiv, seed=seed, amp=0.25, freq=6.0)
+        s = np.float32(8.0)
+        off = np.array([0.0, offset, 0.0], np.float32)
+        parts.append((v0 * s + off, v1 * s + off, v2 * s + off))
+        total += len(v0)
+        seed += 1
+        offset += 12.0
+    v0 = np.concatenate([p[0] for p in parts])
+    v1 = np.concatenate([p[1] for p in parts])
+    v2 = np.concatenate([p[2] for p in parts])
+    return scene.add_mesh(v0, v1, v2, material)
 
 
 def add_cathedral(scene, material: int) -> int:
