@@ -39,7 +39,7 @@ def main():
     pt = Pathtracer(scene, width, height)
     # camera inside the hall looking down the nave
     from cuda_pathtracer_tpu.core.camera import Camera
-    camera = Camera.create([0.0, -4.0, -14.0], [0.0, 0.05, 1.0], 1.5, 10.0, 0.0)
+    camera = Camera.create([0.0, 5.0, -16.0], [0.0, 0.0, 1.0], 1.5, 12.0, 0.0)
 
     # compile + warm up (interactive clear then converge samples)
     pt.render(camera, should_clear=True)

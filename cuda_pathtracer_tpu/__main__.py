@@ -53,8 +53,17 @@ def build_argparser():
                    help='shard pixel rows over all available devices')
     p.add_argument('--interactive', action='store_true',
                    help='terminal-interactive loop with reference keybindings')
+    p.add_argument('--serve', type=int, metavar='PORT', default=0,
+                   help='interactive browser viewer on this HTTP port '
+                        '(the headless stand-in for the GLFW window)')
     p.add_argument('--time', type=float, default=0.0,
                    help='scene time for animation handlers')
+    p.add_argument('--frames', type=int, default=0,
+                   help='with --serve: stop after N frames (0 = forever)')
+    p.add_argument('--checkpoint', default='',
+                   help='write a render-state checkpoint (.npz) at exit')
+    p.add_argument('--resume', default='',
+                   help='resume from a render-state checkpoint (.npz)')
     return p
 
 
@@ -85,6 +94,9 @@ def main(argv=None):
         app.nee = not args.no_nee
         app.cache = not args.no_cache
 
+    if args.serve:
+        _serve_loop(app, scene, camera, args)
+        return 0
     if args.interactive:
         _interactive_loop(app, scene, camera, args)
         return 0
@@ -92,11 +104,21 @@ def main(argv=None):
     # headless: animate to the requested time, render spp samples, save
     scene.update(None, args.time)
     t0 = time.perf_counter()
-    app.render(camera, args.time, 0.0, should_clear=True)
+    if args.resume and args.mode == 'path':
+        from .utils.checkpoint import load_checkpoint
+        camera = load_checkpoint(args.resume, app)
+        print(f'resumed at {app.sample_idx} spp from {args.resume}',
+              file=sys.stderr)
+    else:
+        app.render(camera, args.time, 0.0, should_clear=True)
     if args.mode == 'path':
         while app.sample_idx < args.spp:
             app.render(camera, args.time, 0.0, should_clear=False)
     app.finish()
+    if args.checkpoint and args.mode == 'path':
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, app, camera)
+        print(f'checkpoint -> {args.checkpoint}', file=sys.stderr)
     dt = time.perf_counter() - t0
     img = app.image(blur=args.blur)
     save_png(np.asarray(img), args.out)
@@ -126,6 +148,71 @@ def _ascii_preview(img, cols=96):
                                 len(ramp) - 1)] for x in xs)
         out.append(line)
     return '\n'.join(out)
+
+
+def _serve_loop(app, scene, camera, args):
+    """The real-time loop of the reference main() (src/main.cpp:301-425) with
+    the GLFW window replaced by the HTTP live viewer: render, present, poll
+    keys, update camera/scene, decide shouldClear."""
+    import numpy as np
+    from .core.camera import update_camera
+    from .scene import state as state_mod
+    from .utils.display import HttpDisplay
+    from .utils.keyboard import Keyboard, DEFAULT_KEYMAP
+    from .utils.profiling import FpsMeter
+    from .models import film
+
+    display = HttpDisplay(args.serve)
+    print(f'live viewer: http://localhost:{args.serve}/', file=sys.stderr)
+    kb = Keyboard()
+    fps = FpsMeter(report_every=10)
+    blur = True
+    should_clear = True
+    t = args.time
+    tick = 0
+    try:
+        while args.frames == 0 or tick < args.frames:
+            tick += 1
+            app.render(camera, t, 0.0, should_clear=should_clear)
+            # host-side scene update overlaps the async device render
+            # (mirroring main.cpp:312-313)
+            keys = display.poll_keys()
+            kb.set_down(keys)
+            scene.update(kb, t)
+            app.finish()
+            display.present(np.asarray(film.to_uint8(app.image(blur=blur))))
+            ema = fps.frame()
+            if ema is not None:
+                print(f'running average fps: {ema:.2f}', file=sys.stderr)
+
+            moved = False
+            if scene.attached == 0:
+                actions = {DEFAULT_KEYMAP.get(k, k) for k in keys}
+                camera, moved = update_camera(camera, actions)
+            if kb.is_pressed('switch_nee') and hasattr(app, 'nee'):
+                app.nee = not app.nee
+                moved = True
+            if kb.is_pressed('switch_cache') and hasattr(app, 'cache'):
+                app.cache = not app.cache
+                moved = True
+            if kb.is_pressed('switch_blur'):
+                blur = not blur
+            if kb.is_down('light_dim') and scene.point_lights:
+                scene.point_lights[0].color = tuple(
+                    c * 0.97 for c in scene.point_lights[0].color)
+                moved = True
+            if kb.is_down('light_brighten') and scene.point_lights:
+                scene.point_lights[0].color = tuple(
+                    c * 1.03 for c in scene.point_lights[0].color)
+                moved = True
+            kb.swap_buffers()
+            should_clear = moved or scene.invalid
+            t += 0.1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        display.close()
+        state_mod.save_state(camera, args.state)
 
 
 def _interactive_loop(app, scene, camera, args):
