@@ -36,6 +36,14 @@ from ..ops.dispatch import trace
 from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH, T_MAX
 
 
+# tail-narrowing configuration (see render_sample): after TAIL_START bounces
+# survivors are compacted into a B/TAIL_DIV buffer; disabled under
+# TAIL_MIN_LANES where the narrow width can't amortize the fixed step cost
+TAIL_START = 6
+TAIL_DIV = 8
+TAIL_MIN_LANES = 131072
+
+
 class _BounceCarry(NamedTuple):
     bounce: jnp.ndarray
     ro: jnp.ndarray
@@ -114,28 +122,28 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             accucolor=c.state.accucolor
             + jnp.where(add[..., None], c.state.light, 0.0))
 
-    def body(c: _BounceCarry):
+    def _bounce_body(c: _BounceCarry, xs_l, ys_l, Bl: int):
         if nee:
             # FUSED traversal: extension rays (closest hit) + previous
             # bounce's shadow rays (stop-on-first-hit) in one 2B-lane call
             hits = trace(scene, dyn,
                          jnp.concatenate([c.ro, c.shadow_o]),
                          jnp.concatenate([c.rd, c.shadow_d]),
-                         t_max=jnp.concatenate([jnp.full(B, T_MAX, jnp.float32),
+                         t_max=jnp.concatenate([jnp.full(Bl, T_MAX, jnp.float32),
                                                 c.shadow_tmax]),
                          active=jnp.concatenate([c.alive, c.shadow_active]),
-                         stop_on_hit=jnp.concatenate([jnp.zeros(B, bool),
-                                                      jnp.ones(B, bool)]),
+                         stop_on_hit=jnp.concatenate([jnp.zeros(Bl, bool),
+                                                      jnp.ones(Bl, bool)]),
                          wide_depth=wide_depth)
-            hit = jax.tree.map(lambda a: a[:B], hits)
-            st = _connect_pending(c, hits.intersected[B:])
+            hit = jax.tree.map(lambda a: a[:Bl], hits)
+            st = _connect_pending(c, hits.intersected[Bl:])
         else:
             hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
                         wide_depth=wide_depth)
             st = c.state
 
         out = shade(scene, dyn, c.ro, c.rd, hit, st, c.alive,
-                    xs, ys, c.rand_idx, sample_idx, c.bounce,
+                    xs_l, ys_l, c.rand_idx, sample_idx, c.bounce,
                     nee, cache_on, radiance, width)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
 
@@ -165,17 +173,110 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             shadow_o=out.shadow_o, shadow_d=out.shadow_d,
             shadow_tmax=out.shadow_tmax, shadow_active=out.shadow_active)
 
-    final = jax.lax.while_loop(cond, body, carry)
+    def body(c: _BounceCarry):
+        return _bounce_body(c, xs, ys, B)
 
-    if nee:
-        # the last executed bounce's shadow rays are still pending
+    # ---- tail narrowing ----
+    # After TAIL_START bounces, Russian roulette leaves only a few percent of
+    # lanes alive, but a lockstep bounce still costs the full wavefront width
+    # (the per-gather-step cost is ~flat in lane count down to ~100k lanes,
+    # PERF.md). So survivors are compacted into a B/TAIL_DIV-wide buffer and
+    # run to completion there, in as many rounds as needed (unbiased — no ray
+    # is dropped). Disabled for small frames where it can't pay off.
+    use_tail = max_bounces > TAIL_START and B >= TAIL_MIN_LANES
+
+    if use_tail:
+        main_cond = lambda c: (c.bounce < TAIL_START) & jnp.any(c.alive)  # noqa: E731
+    else:
+        main_cond = cond
+    final = jax.lax.while_loop(main_cond, body, carry)
+
+    def _flush_shadows(final):
+        if not nee:
+            return final
         last = trace(scene, dyn, final.shadow_o, final.shadow_d,
                      t_max=final.shadow_tmax, active=final.shadow_active,
                      any_hit=True, wide_depth=wide_depth)
-        final = final._replace(
+        return final._replace(
             state=_connect_pending(final, last.intersected),
+            shadow_active=jnp.zeros_like(final.shadow_active),
             rays_traced=final.rays_traced
             + jnp.sum(final.shadow_active.astype(jnp.float32)))
+
+    final = _flush_shadows(final)
+
+    if use_tail:
+        C = B // TAIL_DIV
+
+        def tail_round_cond(tc):
+            return jnp.any(tc['alive'])
+
+        def tail_round(tc):
+            # compact: alive lanes first (stable -> pixel order)
+            order = jnp.argsort(~tc['alive'], stable=True)
+            sel = order[:C]
+            sub = dict(
+                ro=tc['ro'][sel], rd=tc['rd'][sel],
+                mask=tc['mask'][sel],
+                accucolor=tc['accucolor'][sel],
+                from_specular=tc['from_specular'][sel],
+                albedo_set=tc['albedo_set'][sel],
+                alive=tc['alive'][sel],
+                xs=xs[sel], ys=ys[sel])
+
+            st0 = TraceState(mask=sub['mask'],
+                             accucolor=sub['accucolor'],
+                             light=jnp.zeros((C, 3), jnp.float32),
+                             from_specular=sub['from_specular'],
+                             albedo_set=sub['albedo_set'])
+            sc = _BounceCarry(
+                bounce=jnp.asarray(TAIL_START, jnp.int32),
+                ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
+                state=st0, cache=SampleCache.empty(C),
+                rand_idx=tc['rand_idx'],
+                albedo_add=jnp.zeros((C, 3), jnp.float32),
+                albedo_inc=jnp.zeros(C, jnp.float32),
+                rays_traced=jnp.zeros((), jnp.float32),
+                shadow_o=jnp.zeros((C, 3), jnp.float32),
+                shadow_d=jnp.zeros((C, 3), jnp.float32),
+                shadow_tmax=jnp.zeros(C, jnp.float32),
+                shadow_active=jnp.zeros(C, bool))
+
+            def sub_body(c):
+                return _bounce_body(c, sub['xs'], sub['ys'], C)
+
+            sf = jax.lax.while_loop(
+                lambda c: (c.bounce < max_bounces) & jnp.any(c.alive),
+                sub_body, sc)
+            sf = _flush_shadows(sf)
+
+            # scatter results back by lane id; selected lanes are finished
+            return dict(
+                alive=tc['alive'].at[sel].set(False),
+                ro=tc['ro'], rd=tc['rd'], mask=tc['mask'],
+                from_specular=tc['from_specular'],
+                albedo_set=tc['albedo_set'],
+                accucolor=tc['accucolor'].at[sel].set(sf.state.accucolor),
+                albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
+                albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
+                rand_idx=sf.rand_idx,
+                rays=tc['rays'] + sf.rays_traced)
+
+        tail0 = dict(alive=final.alive, ro=final.ro, rd=final.rd,
+                     mask=final.state.mask,
+                     from_specular=final.state.from_specular,
+                     albedo_set=final.state.albedo_set,
+                     accucolor=final.state.accucolor,
+                     albedo_add=final.albedo_add,
+                     albedo_inc=final.albedo_inc,
+                     rand_idx=final.rand_idx,
+                     rays=final.rays_traced)
+        tf = jax.lax.while_loop(tail_round_cond, tail_round, tail0)
+        final = final._replace(
+            state=final.state._replace(accucolor=tf['accucolor']),
+            albedo_add=tf['albedo_add'], albedo_inc=tf['albedo_inc'],
+            rand_idx=tf['rand_idx'], rays_traced=tf['rays'],
+            alive=tf['alive'])
 
     # guiding update (src/pathtracer.h:292-296). With defer_guide the raw
     # bucket sums are returned instead, so a band-split render can combine
