@@ -1,10 +1,13 @@
-// Native binned-SAH BVH builder.
+// Native binned-SAH BVH builder (OpenMP-parallel).
 //
 // C++ implementation of the same algorithm as ../bvh.py (Wald 2007 binned
-// SAH, K=16 bins, leaf cutoff <=4, forward-assigned child boxes from scanned
-// bins) — the equivalent of the reference's createBVHBinned
-// (reference: src/bvhBuilder.h:35-274), written fresh with SSE-free portable
-// vector code (the compiler autovectorizes the min/max scans).
+// SAH, K=16 bins, leaf cutoff <=4 with a median-split fallback so leaves are
+// statically bounded) — the role of the reference's createBVHBinned
+// (reference: src/bvhBuilder.h:35-274), written fresh. The top of the tree is
+// split sequentially until enough independent subtrees exist, then subtrees
+// build in parallel: node ids come from a shared atomic counter and each
+// subtree owns a disjoint slice of the permutation array, so no locking is
+// needed anywhere else.
 //
 // Exposed via a C ABI for ctypes (see ../native.py). Build: `make` here.
 //
@@ -12,12 +15,16 @@
 // left/leaf_start/leaf_count int32 (leaf_count > 0 marks a leaf), plus the
 // triangle permutation applied by the build.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
 #include <vector>
 #include <algorithm>
 #include <limits>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -61,17 +68,32 @@ extern "C" int64_t build_bvh_binned(
 
     std::vector<Box> tri_box(n);
     std::vector<V3> centroid(n);
+    std::vector<int8_t> bin_id(n);
+
     Box root = Box::insideOut();
-    for (int64_t i = 0; i < n; i++) {
-        V3 a{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2]};
-        V3 b{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2]};
-        V3 c{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2]};
-        tri_box[i] = {a.mins(b).mins(c), a.maxs(b).maxs(c)};
-        centroid[i] = {0.333333f * (a.x + b.x + c.x),
-                       0.333333f * (a.y + b.y + c.y),
-                       0.333333f * (a.z + b.z + c.z)};
-        root.grow(tri_box[i]);
-        out_perm[i] = (int32_t)i;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        Box local = Box::insideOut();
+#ifdef _OPENMP
+#pragma omp for nowait
+#endif
+        for (int64_t i = 0; i < n; i++) {
+            V3 a{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2]};
+            V3 b{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2]};
+            V3 c{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2]};
+            tri_box[i] = {a.mins(b).mins(c), a.maxs(b).maxs(c)};
+            centroid[i] = {0.333333f * (a.x + b.x + c.x),
+                           0.333333f * (a.y + b.y + c.y),
+                           0.333333f * (a.z + b.z + c.z)};
+            local.grow(tri_box[i]);
+            out_perm[i] = (int32_t)i;
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        root.grow(local);
     }
 
     auto set_box = [&](int64_t idx, const Box& b) {
@@ -85,26 +107,19 @@ extern "C" int64_t build_bvh_binned(
     };
 
     set_box(0, root);
-    int64_t node_count = 1;
+    std::atomic<int64_t> node_count{1};
 
-    std::vector<WorkItem> stack;
-    stack.reserve(256);
-    stack.push_back({0, 0, n});
-
-    std::vector<int8_t> bin_id(n);
-
-    // Fallback when SAH bails with count > LEAF_SIZE: median split on the
-    // dominant axis so leaves NEVER exceed LEAF_SIZE (the TPU traversal tests
-    // a static number of triangles per leaf).
-    auto median_split = [&](int64_t idx, int64_t start, int64_t count,
-                            int axis) {
+    // median-split fallback when SAH bails with count > LEAF_SIZE
+    auto median_split = [&](std::vector<WorkItem>& stack, int64_t idx,
+                            int64_t start, int64_t count, int axis) {
         int32_t* b = out_perm + start;
         std::nth_element(b, b + count / 2, b + count,
                          [&](int32_t a, int32_t c) {
                              return centroid[a][axis] < centroid[c][axis];
                          });
         const int64_t lcnt = count / 2;
-        const int64_t c1 = node_count++, c2 = node_count++;
+        const int64_t c1 = node_count.fetch_add(2);
+        const int64_t c2 = c1 + 1;
         Box lb = Box::insideOut(), rb = Box::insideOut();
         for (int64_t i = start; i < start + lcnt; i++) lb.grow(tri_box[out_perm[i]]);
         for (int64_t i = start + lcnt; i < start + count; i++) rb.grow(tri_box[out_perm[i]]);
@@ -117,14 +132,12 @@ extern "C" int64_t build_bvh_binned(
         stack.push_back({c1, start, lcnt});
     };
 
-    while (!stack.empty()) {
-        WorkItem w = stack.back();
-        stack.pop_back();
+    // One SAH split step; pushes children onto `stack` (or makes a leaf).
+    auto step = [&](std::vector<WorkItem>& stack, const WorkItem& w) {
         const int64_t idx = w.node, start = w.start, count = w.count;
 
-        if (count <= LEAF_SIZE) { make_leaf(idx, start, count); continue; }
+        if (count <= LEAF_SIZE) { make_leaf(idx, start, count); return; }
 
-        // dominant centroid axis
         Box cen = Box::insideOut();
         for (int64_t i = start; i < start + count; i++) {
             const V3& c = centroid[out_perm[i]];
@@ -136,9 +149,8 @@ extern "C" int64_t build_bvh_binned(
         if (ext.x > ext.y && ext.x > ext.z) axis = 0;
         else if (ext.y > ext.x && ext.y > ext.z) axis = 1;
         const float bmin = cen.lo[axis], bmax = cen.hi[axis];
-        if (bmax - bmin < K * FEPS) { median_split(idx, start, count, axis); continue; }
+        if (bmax - bmin < K * FEPS) { median_split(stack, idx, start, count, axis); return; }
 
-        // bin
         Box bins[K];
         int64_t bin_counts[K] = {0};
         for (int k = 0; k < K; k++) bins[k] = Box::insideOut();
@@ -152,7 +164,6 @@ extern "C" int64_t build_bvh_binned(
             bins[b].grow(tri_box[t]);
         }
 
-        // prefix/suffix scans (left exclusive, right inclusive)
         Box parent_box;
         {
             const float* mn = out_vmin + 3 * idx;
@@ -182,9 +193,8 @@ extern "C" int64_t build_bvh_binned(
             double sah = left_cost[k] + right_cost[k] + FEPS;
             if (sah < min_sah) { min_sah = sah; min_k = k; }
         }
-        if (min_k <= 0) { median_split(idx, start, count, axis); continue; }
+        if (min_k <= 0) { median_split(stack, idx, start, count, axis); return; }
 
-        // in-place partition of the permutation slice
         int64_t l = start, r = start + count - 1;
         while (l <= r) {
             if (bin_id[out_perm[l]] < min_k) { l++; continue; }
@@ -192,9 +202,10 @@ extern "C" int64_t build_bvh_binned(
             std::swap(out_perm[l], out_perm[r]);
         }
         const int64_t lcnt = l - start;
-        if (lcnt == 0 || lcnt == count) { median_split(idx, start, count, axis); continue; }
+        if (lcnt == 0 || lcnt == count) { median_split(stack, idx, start, count, axis); return; }
 
-        const int64_t c1 = node_count++, c2 = node_count++;
+        const int64_t c1 = node_count.fetch_add(2);
+        const int64_t c2 = c1 + 1;
         set_box(c1, left_scan[min_k]);
         set_box(c2, right_scan[min_k]);
         out_left[idx] = (int32_t)c1;
@@ -202,7 +213,55 @@ extern "C" int64_t build_bvh_binned(
         out_leaf_start[idx] = 0;
         stack.push_back({c2, start + lcnt, count - lcnt});
         stack.push_back({c1, start, lcnt});
+    };
+
+    auto build_subtree = [&](WorkItem item) {
+        std::vector<WorkItem> stack;
+        stack.reserve(128);
+        stack.push_back(item);
+        while (!stack.empty()) {
+            WorkItem w = stack.back();
+            stack.pop_back();
+            step(stack, w);
+        }
+    };
+
+#ifdef _OPENMP
+    const int threads = omp_get_max_threads();
+#else
+    const int threads = 1;
+#endif
+    if (threads <= 1 || n < 1 << 16) {
+        build_subtree({0, 0, n});
+        return node_count.load();
     }
 
-    return node_count;
+    // sequential top: split until enough independent subtrees exist
+    const int64_t want = (int64_t)threads * 8;
+    std::vector<WorkItem> frontier{{0, 0, n}};
+    std::vector<WorkItem> ready;
+    while (!frontier.empty() &&
+           (int64_t)(frontier.size() + ready.size()) < want) {
+        // split the largest frontier item
+        size_t big = 0;
+        for (size_t i = 1; i < frontier.size(); i++)
+            if (frontier[i].count > frontier[big].count) big = i;
+        WorkItem w = frontier[big];
+        frontier.erase(frontier.begin() + big);
+        if (w.count <= LEAF_SIZE * 8) { ready.push_back(w); continue; }
+        std::vector<WorkItem> children;
+        step(children, w);
+        for (const auto& c : children) frontier.push_back(c);
+        if (children.empty()) { /* became a leaf */ }
+    }
+    for (const auto& w : frontier) ready.push_back(w);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int64_t i = 0; i < (int64_t)ready.size(); i++) {
+        build_subtree(ready[i]);
+    }
+
+    return node_count.load();
 }

@@ -116,8 +116,18 @@ def get_scripted_scene(path: str, asset_dirs=()) -> Scene:
 
     def scene_add_model(filename, scale, rotation: float3, offset: float3,
                         material, use_mtl=False) -> int:
-        return scene.add_model(filename, float(scale), rotation.tuple(),
-                               offset.tuple(), int(material), bool(use_mtl))
+        try:
+            return scene.add_model(filename, float(scale), rotation.tuple(),
+                                   offset.tuple(), int(material), bool(use_mtl))
+        except FileNotFoundError:
+            # scripts reference assets the reference repo doesn't ship
+            # (sponza.obj in sponza.chai) — degrade to a procedural stand-in
+            # of similar scale so the script still runs (see scene/procedural)
+            import sys
+            print(f'chai: {filename} not found; using a procedural stand-in',
+                  file=sys.stderr)
+            from . import procedural
+            return procedural.add_cathedral(scene, int(material))
 
     def scene_add_plane(plane: ChaiPlane):
         scene.add_plane(ScenePlane(plane.normal.tuple(), plane.d, plane.material))
