@@ -39,7 +39,7 @@ from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH, T_MAX
 # tail-narrowing configuration (see render_sample): after TAIL_START bounces
 # survivors are compacted into a B/TAIL_DIV buffer; disabled under
 # TAIL_MIN_LANES where the narrow width can't amortize the fixed step cost
-TAIL_START = 6
+TAIL_START = 3
 TAIL_DIV = 8
 TAIL_MIN_LANES = 131072
 
