@@ -100,3 +100,32 @@ def test_wide_tmax_respected(reference_assets):
     hit = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth, ro, rd,
                         t_max=jnp.asarray([2.0]), any_hit=True)
     assert not bool(hit.intersected[0])
+
+
+def test_wide_top_level_more_than_16_instances(reference_assets):
+    """>16 instances exercise the multi-level 16-ary top fan-out."""
+    scene = Scene(asset_dirs=[reference_assets])
+    white = scene.add_material(Material.DIFFUSE((0.5,) * 3))
+    cube = scene.add_model('cube.obj', 1.0, (0, 0, 0), (0, 0, 0), white)
+    n_inst = 21
+    for i in range(n_inst):
+        g = GameObject(cube)
+        g.position[:] = [4.0 * i, 0, 0]
+        scene.add_object(g)
+    scene.finalize()
+    arrays = scene.to_device()
+    dyn = scene.dynamic_arrays()
+    assert dyn.wide_rows.shape[0] > 0
+
+    # a ray aimed at each instance must hit that instance
+    ro = np.array([[4.0 * i, 0.0, -10.0] for i in range(n_inst)], np.float32)
+    rd = np.tile(np.array([[0, 0, 1.0]], np.float32), (n_inst, 1))
+    hit = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth,
+                        jnp.asarray(ro), jnp.asarray(rd))
+    assert np.asarray(hit.intersected).all()
+    np.testing.assert_allclose(np.asarray(hit.t), 9.0, rtol=1e-5)
+    inst = np.asarray(dyn.world.tri_inst)[np.asarray(hit.prim_id)]
+    np.testing.assert_array_equal(inst, np.arange(n_inst))
+    # narrow path agrees
+    nar = traverse(arrays, dyn.world, jnp.asarray(ro), jnp.asarray(rd))
+    np.testing.assert_allclose(np.asarray(nar.t), np.asarray(hit.t), rtol=1e-6)
