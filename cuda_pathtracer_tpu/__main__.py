@@ -186,9 +186,22 @@ def _serve_loop(app, scene, camera, args):
                 print(f'running average fps: {ema:.2f}', file=sys.stderr)
 
             moved = False
+            # click-to-focus (main.cpp:381-393): browser clicks set the focal
+            # length to the hit distance under the cursor
+            for (cu, cv) in display.poll_clicks():
+                from .utils.focus import click_to_focus
+                px = int(cu * app.width)
+                py = int((1.0 - cv) * app.height)   # browser y is top-down
+                camera, ok = click_to_focus(camera, app.arrays, app.dyn,
+                                            px, py, app.width, app.height)
+                if ok:
+                    print(f'focal length: {float(camera.focal_length):.3f}',
+                          file=sys.stderr)
+                    moved = True
             if scene.attached == 0:
                 actions = {DEFAULT_KEYMAP.get(k, k) for k in keys}
-                camera, moved = update_camera(camera, actions)
+                camera, moved_c = update_camera(camera, actions)
+                moved = moved or moved_c
             if kb.is_pressed('switch_nee') and hasattr(app, 'nee'):
                 app.nee = not app.nee
                 moved = True

@@ -25,7 +25,7 @@ from .guiding import SAMPLE_IGNORE, SAMPLE_TERMINATE, SAMPLE_BUCKET, RadianceSta
 from ..core import rng as _rng
 from ..core import vecmath as vm
 from ..ops import intersect as isect
-from ..ops.traverse import Hit, PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE, traverse
+from ..ops.traverse import Hit, PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE
 from ..constants import EPS, PI
 
 

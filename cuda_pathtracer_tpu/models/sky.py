@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import vecmath as vm
 from ..constants import PI
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from . import intersect as isect
 from .traverse import Hit, PRIM_TRIANGLE, _primitives_prepass
 from ..constants import T_MAX
-from ..accel.wide import (ROW, ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
+from ..accel.wide import (ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
                           LEAF_TRIS, LEAF_GIDS, LEAF_GID_MAX)
 
 

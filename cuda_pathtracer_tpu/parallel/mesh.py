@@ -14,16 +14,13 @@ lane counts must divide the mesh size (pad the height if needed).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.pathtracer import render_sample as _render_sample
 from ..models import film
-from ..models.guiding import RadianceState
 
 
 def make_mesh(devices=None, axis_name: str = 'px') -> Mesh:
@@ -152,3 +149,7 @@ class ShardedPathtracer:
     def image(self, blur: bool = False):
         return film.display(self.lum, self.alb, float(self.sample_idx),
                             self.width, self.height, blur=blur)
+
+    def energy(self):
+        total, has_nan, has_neg = film.energy_audit(self.lum)
+        return float(total), bool(has_nan), bool(has_neg)

@@ -10,9 +10,6 @@ benchmarkable; when the real OBJ exists on the asset path it is used.
 from __future__ import annotations
 
 import math
-import os
-
-import numpy as np
 
 from .scene import Scene, Material, GameObject, Sphere, Plane, PointLight
 from . import procedural

@@ -10,7 +10,7 @@ state (see scene/device.py).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace as dc_replace
+from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import numpy as np
@@ -171,6 +171,9 @@ class Scene:
                   use_mtl: bool = False) -> int:
         """Scene::addModel (src/scene.h:159-347): OBJ parse, MTL->Material
         derivation, vertex bake, per-triangle attributes, BVH build."""
+        import sys
+        import time as _time
+        print(f'Loading model {filename}', file=sys.stderr)
         path = self._resolve(filename)
         mesh = objloader.load_obj(path, self.asset_dirs)
 
@@ -296,9 +299,17 @@ class Scene:
 
     def _append_model(self, v0, v1, v2, normal, tangent, bitangent,
                       uv6, tri_materials) -> int:
-        """BVH over the model's block, permute the block, register the model."""
+        """BVH over the model's block, permute the block, register the model.
+        Boot logging mirrors the reference (scene.h:338-343)."""
+        import sys
+        import time as _time
         nt = len(v0)
+        print(f'Building a BVH over {nt} triangles', file=sys.stderr)
+        t0 = _time.perf_counter()
         nodes = build_bvh(v0, v1, v2)
+        print(f'Build took {(_time.perf_counter() - t0) * 1e3:.3f}ms',
+              file=sys.stderr)
+        print(f'BVH Size: {len(nodes.vmin)}', file=sys.stderr)
         perm = nodes.perm
         start = len(self._v0)
         self._v0 = np.concatenate([self._v0, v0[perm]])

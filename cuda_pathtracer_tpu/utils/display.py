@@ -52,6 +52,10 @@ n NEE &middot; c cache &middot; b blur &middot; j/k light &middot; 0-9 attach</p
 setInterval(()=>{document.getElementById('v').src='/frame.png?'+Date.now()},500);
 document.addEventListener('keydown',e=>{
   fetch('/key?k='+encodeURIComponent(e.key));});
+document.getElementById('v').addEventListener('click',e=>{
+  const r=e.target.getBoundingClientRect();
+  fetch('/click?u='+((e.clientX-r.left)/r.width)+
+        '&v='+((e.clientY-r.top)/r.height));});
 </script></body></html>"""
 
 
@@ -65,6 +69,7 @@ class HttpDisplay:
     def __init__(self, port: int = 8000):
         self._png = b''
         self._keys: set = set()
+        self._clicks: list = []
         self._lock = threading.Lock()
         display = self
 
@@ -81,6 +86,18 @@ class HttpDisplay:
                     self.send_header('Cache-Control', 'no-store')
                     self.end_headers()
                     self.wfile.write(data)
+                elif self.path.startswith('/click'):
+                    from urllib.parse import urlparse, parse_qs
+                    q = parse_qs(urlparse(self.path).query)
+                    try:
+                        u = float(q.get('u', ['0'])[0])
+                        v = float(q.get('v', ['0'])[0])
+                        with display._lock:
+                            display._clicks.append((u, v))
+                    except ValueError:
+                        pass
+                    self.send_response(204)
+                    self.end_headers()
                 elif self.path.startswith('/key'):
                     from urllib.parse import urlparse, parse_qs
                     q = parse_qs(urlparse(self.path).query)
@@ -116,6 +133,13 @@ class HttpDisplay:
         with self._lock:
             keys, self._keys = self._keys, set()
         return keys
+
+    def poll_clicks(self) -> list:
+        """Fractional (u, v) image clicks since the last poll; v measured
+        from the top of the browser image (the render is bottom-first)."""
+        with self._lock:
+            clicks, self._clicks = self._clicks, []
+        return clicks
 
     def close(self):
         self.server.shutdown()
