@@ -11,9 +11,11 @@ world space).
 Spheres and planes are brute-forced before the tree walk, exactly like
 traverseTopLevel (src/kernels.h:286-320).
 
-A Pallas kernel with VMEM-resident nodes implements the same contract for the
-performance path (ops/traverse_pallas.py); this module is the semantics
-reference and the fallback for arbitrary scene sizes.
+The fat-row wide BVH (ops/traverse_wide.py) implements the same contract for
+the performance path; this module is the semantics reference and the fallback
+when no wide table is available. (A Pallas traversal kernel is blocked on
+Mosaic's gather support — see PERF.md; the Pallas showcase in this codebase
+is the fused blur stencil, ops/blur_pallas.py.)
 """
 from __future__ import annotations
 
