@@ -137,3 +137,24 @@ def test_energy_audit_detects_nan():
     lum = jnp.asarray(np.array([[1.0, np.nan, 0.5, 2.0]], np.float32))
     _, has_nan, _ = film.energy_audit(lum)
     assert bool(has_nan)
+
+
+def test_display_transform_gamma_vignette():
+    """quad_fs semantics (main.cpp:46-72): color = sqrt(lum/w) * vignette."""
+    W2, H2 = 8, 6
+    lum = np.zeros((W2 * H2, 4), np.float32)
+    lum[:, :3] = 0.25 * 4.0   # accumulated over 4 samples
+    lum[:, 3] = 4.0
+    alb = np.ones_like(lum)
+    img = np.asarray(film.display(jnp.asarray(lum), jnp.asarray(alb), 4.0,
+                                  W2, H2, blur=False))
+    # center pixel: sqrt(0.25) * (1 - tiny center offset^2) ~ 0.5
+    cy, cx = H2 // 2, W2 // 2
+    assert abs(img[cy, cx, 0] - 0.5) < 0.01
+    # corners darker than center (vignette)
+    assert img[0, 0, 0] < img[cy, cx, 0]
+    # vignette formula check at the corner pixel center
+    u = (0 + 0.5) / W2 - 0.5
+    v = (0 + 0.5) / H2 - 0.5
+    np.testing.assert_allclose(img[0, 0, 0], 0.5 * (1 - (u * u + v * v)),
+                               rtol=1e-5)
