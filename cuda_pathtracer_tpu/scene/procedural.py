@@ -161,8 +161,8 @@ def add_cathedral(scene, material: int) -> int:
     return scene.add_mesh(v0, v1, v2, material)
 
 
-def add_voxel_world(scene, material: int, n=56, seed=3) -> int:
-    """Minecraft-style height-field of cubes (~100k tris) standing in for
+def add_voxel_world(scene, material: int, n=160, seed=3) -> int:
+    """Minecraft-style height-field of cubes (~90k tris) standing in for
     vokselia_spawn.obj."""
     rng = np.random.RandomState(seed)
     base = rng.rand(n // 8 + 2, n // 8 + 2)
