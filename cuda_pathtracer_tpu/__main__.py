@@ -184,6 +184,18 @@ def _serve_loop(app, scene, camera, args):
             ema = fps.frame()
             if ema is not None:
                 print(f'running average fps: {ema:.2f}', file=sys.stderr)
+            # DEBUG_ENERGY audit every 10 ticks (src/main.cpp:342-366):
+            # detect NaNs / negative channels, report energy per sample
+            if tick % 10 == 0 and hasattr(app, 'energy'):
+                total, has_nan, has_neg = app.energy()
+                per_sample = total / max(1, getattr(app, 'sample_idx', 1))
+                if has_nan:
+                    print('energy audit: NANS DETECTED!', file=sys.stderr)
+                if has_neg:
+                    print('energy audit: negative channel detected!',
+                          file=sys.stderr)
+                print(f'Total energy per sample: {per_sample:.1f}',
+                      file=sys.stderr)
 
             moved = False
             # click-to-focus (main.cpp:381-393): browser clicks set the focal

@@ -75,7 +75,11 @@ def accumulate_buckets(state_tris: int, cache: SampleCache,
     alive_chain = terminated_before - (cache.stype == SAMPLE_TERMINATE)
     valid = (cache.stype == SAMPLE_BUCKET) & (alive_chain == 0)
 
-    energy = jnp.minimum(
+    # fmin, not minimum: cum_mask can have exact-zero channels (saturated
+    # colors / zero texels), and CUDA's fminf(100, 0/0=NaN) returns 100 —
+    # jnp.minimum would instead propagate the NaN into the cache permanently
+    # through the EMA clip (kernels.h:872 uses fminf).
+    energy = jnp.fmin(
         ENERGY_CLAMP,
         vm.luminance(total_energy[None, :, :] / cache.cum_mask))
     energy = jnp.where(valid, energy, 0.0)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from . import film
 from .guiding import (RadianceState, SampleCache, init_radiance_state,
                       update_radiance_state)
-from .shading import TraceState, shade, connect
+from .shading import TraceState, shade
 from ..core import camera as cam_mod
 from ..core import rng as _rng
 from ..ops.dispatch import trace

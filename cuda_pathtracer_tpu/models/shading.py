@@ -406,16 +406,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         albedo_add=albedo_add, albedo_inc=albedo_inc)
 
 
-def connect(scene, dyn, out: ShadeOutput, wide_depth: int = 0) -> TraceState:
-    """kernel_connect (src/kernels.h:799-810): any-hit trace of the shadow
-    rays; unoccluded lanes add their pending NEE light to accucolor."""
-    from ..ops.dispatch import trace
-    st = out.state
-    if int(dyn.light_v0w.shape[0]) == 0:
-        return st
-    hit = trace(scene, dyn, out.shadow_o, out.shadow_d,
-                t_max=out.shadow_tmax, active=out.shadow_active,
-                any_hit=True, wide_depth=wide_depth)
-    add = out.shadow_active & ~hit.intersected
-    accucolor = st.accucolor + jnp.where(add[..., None], st.light, 0.0)
-    return st._replace(accucolor=accucolor)
+# NOTE: there is deliberately no standalone connect() here — the engine fuses
+# kernel_connect (src/kernels.h:799-810) into the next bounce's traversal via
+# per-lane stop_on_hit (models/pathtracer.py:_connect_pending), halving the
+# per-bounce gather cost.

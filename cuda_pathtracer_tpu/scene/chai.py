@@ -11,6 +11,7 @@ against adapter objects.
 """
 from __future__ import annotations
 
+import ast
 import re
 
 import numpy as np
@@ -106,6 +107,42 @@ def _translate(line: str) -> str:
     return line
 
 
+def _check_stmt(stmt: str) -> None:
+    """Whitelist-validate one translated statement before execution.
+
+    The reference's chaiscript VM cannot run arbitrary host code, so neither
+    may a .chai file here: only calls to registered names, plain/attribute
+    assignment, literals and arithmetic are allowed. In particular attribute
+    chains that could escape an empty __builtins__ sandbox
+    (x.__class__.__mro__...) are rejected outright via the dunder check.
+    """
+    tree = ast.parse(stmt, mode='exec')
+
+    def fail(node, why):
+        raise ValueError(f'disallowed chai construct ({why}): '
+                         f'{ast.dump(node)[:80]}')
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.Expr, ast.Assign, ast.Load,
+                             ast.Store, ast.Call, ast.Constant, ast.Tuple,
+                             ast.BinOp, ast.UnaryOp, ast.keyword,
+                             ast.Add, ast.Sub, ast.Mult, ast.Div, ast.USub,
+                             ast.UAdd)):
+            if isinstance(node, ast.Call) and not isinstance(
+                    node.func, (ast.Name, ast.Attribute)):
+                fail(node, 'computed callee')
+            continue
+        if isinstance(node, ast.Name):
+            if node.id.startswith('__'):
+                fail(node, 'dunder name')
+            continue
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith('__'):
+                fail(node, 'dunder attribute')
+            continue
+        fail(node, type(node).__name__)
+
+
 def get_scripted_scene(path: str, asset_dirs=()) -> Scene:
     """Evaluate a .chai scene script (getScriptedScene,
     src/sceneBuilder.h:271-306)."""
@@ -167,7 +204,8 @@ def get_scripted_scene(path: str, asset_dirs=()) -> Scene:
                 continue
             stmt, pending = pending, ''
             try:
-                exec(stmt, env)  # noqa: S102 — sandboxed env, scene scripts
+                _check_stmt(stmt)
+                exec(stmt, env)  # noqa: S102 — AST-whitelisted above
             except Exception as e:
                 raise RuntimeError(
                     f'{path}:{pending_line}: error in chai statement '

@@ -92,7 +92,9 @@ def _parse_mtl(path: str) -> list[MtlMaterial]:
                 if i < len(parts):
                     cur.diffuse_texname = parts[i]
                     cur.diffuse_tex_offset = offset
-            elif key in ('norm', 'map_norm'):
+            elif key in ('norm', 'map_norm', 'bump', 'map_bump', 'map_Bump'):
+                # reference-era MTLs use bump/map_bump interchangeably with
+                # norm; options like "-bm 1.0" precede the filename
                 cur.normal_texname = parts[-1]
     return mats
 
@@ -157,18 +159,21 @@ def load_obj(path: str, search_dirs=()) -> ObjMesh:
         return ObjMesh(vertices, normals, texcoords, empty, empty, empty,
                        np.zeros((0,), np.int32), materials)
 
-    # Vectorized corner parsing: "v", "v/t", "v//n", "v/t/n". Padding '//' to
-    # '/0/' makes 0 the "absent" marker, which _resolve_indices maps to -1.
-    blob = '\n'.join(s.replace('//', '/0/') for s in corner_strs)
+    # Vectorized corner parsing: "v", "v/t", "v//n", "v/t/n". Every corner is
+    # normalized to exactly three fields (0 = absent, which _resolve_indices
+    # maps to -1), so files that mix corner arities — accepted by the
+    # reference's tinyobjloader — parse fine.
+    def _norm_corner(s: str) -> str:
+        s = s.replace('//', '/0/')
+        return s + '/0' * (2 - s.count('/'))
+
+    blob = '\n'.join(_norm_corner(s) for s in corner_strs)
     fields = blob.replace('/', '\n').split('\n')
     arr = np.array(fields, dtype=np.int64)
-    if arr.size % (3 * n_tri) != 0:
-        raise ValueError(f'mixed face-corner formats in {path}')
-    per = arr.size // (3 * n_tri)
-    arr = arr.reshape(3 * n_tri, per)
+    arr = arr.reshape(3 * n_tri, 3)
     vi = arr[:, 0]
-    ti = arr[:, 1] if per >= 2 else np.zeros_like(vi)
-    ni = arr[:, 2] if per >= 3 else np.zeros_like(vi)
+    ti = arr[:, 1]
+    ni = arr[:, 2]
 
     tri_v = _resolve_indices(vi, len(vertices)).reshape(n_tri, 3)
     tri_vt = _resolve_indices(ti, len(texcoords)).reshape(n_tri, 3)

@@ -95,9 +95,6 @@ class TextureAtlas:
         self._by_path: dict[str, int] = {}
 
     def add_path(self, path: str, search_dirs=()) -> int:
-        key = os.path.basename(path)
-        if key in self._by_path:
-            return self._by_path[key]
         full = path
         if not os.path.exists(full):
             for d in search_dirs:
@@ -105,6 +102,12 @@ class TextureAtlas:
                 if os.path.exists(cand):
                     full = cand
                     break
+        # dedup on the resolved path (the reference keys its textureItems map
+        # on the full texname, scene.h:214-244) — basename alone would alias
+        # distinct textures that share a filename across directories
+        key = os.path.realpath(full)
+        if key in self._by_path:
+            return self._by_path[key]
         img = load_image(full)
         if img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)

@@ -113,3 +113,45 @@ def test_to_device_shapes(reference_assets):
     assert arrays.plane_normal.shape == (1, 3)
     assert arrays.point_light_pos.shape == (1, 3)
     assert arrays.sky_img.ndim == 3
+
+
+def test_obj_mixed_corner_arity(tmp_path):
+    # tinyobjloader (the reference's parser) accepts OBJ files mixing "v",
+    # "v/t" and "v//n" corners in one file; so must we (objloader.py)
+    from cuda_pathtracer_tpu.scene.objloader import load_obj
+    p = tmp_path / 'mixed.obj'
+    p.write_text('\n'.join([
+        'v 0 0 0', 'v 1 0 0', 'v 0 1 0', 'v 1 1 0',
+        'vt 0 0', 'vt 1 0', 'vt 0 1',
+        'vn 0 0 1',
+        'f 1 2 3',          # plain
+        'f 1/1 2/2 3/3',    # v/t
+        'f 1//1 2//1 4//1',  # v//n
+    ]) + '\n')
+    mesh = load_obj(str(p))
+    assert mesh.tri_v.shape == (3, 3)
+    assert (mesh.tri_vt[0] == -1).all()
+    assert (mesh.tri_vt[1] == [0, 1, 2]).all()
+    assert (mesh.tri_vn[2] == [0, 0, 0]).all()
+    assert (mesh.tri_vn[0] == -1).all()
+
+
+def test_texture_atlas_dedups_on_full_path(tmp_path):
+    from cuda_pathtracer_tpu.scene.textures import TextureAtlas
+    import numpy as np
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest
+        pytest.skip('PIL not available')
+    a_dir = tmp_path / 'a'
+    b_dir = tmp_path / 'b'
+    a_dir.mkdir()
+    b_dir.mkdir()
+    Image.fromarray(np.zeros((2, 2, 3), np.uint8)).save(a_dir / 't.png')
+    Image.fromarray(np.full((2, 2, 3), 255, np.uint8)).save(b_dir / 't.png')
+    atlas = TextureAtlas()
+    i = atlas.add_path(str(a_dir / 't.png'))
+    j = atlas.add_path(str(b_dir / 't.png'))
+    assert i != j                      # same basename, different textures
+    assert atlas.add_path(str(a_dir / 't.png')) == i   # true dedup

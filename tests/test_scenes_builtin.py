@@ -51,3 +51,20 @@ def test_chai_rejects_bad_script(tmp_path):
     bad.write_text('var x = not_a_function(1)\n')
     with pytest.raises(RuntimeError, match='bad.chai:1'):
         get_scene(str(bad))
+
+
+def test_chai_rejects_sandbox_escape(tmp_path):
+    # attribute-chain escapes of the empty-__builtins__ env must be refused
+    # outright (the reference's chaiscript VM cannot run host code either)
+    evil = tmp_path / 'evil.chai'
+    evil.write_text(
+        "var x = make_float3(1).__class__.__mro__[1].__subclasses__()\n")
+    with pytest.raises(RuntimeError, match='evil.chai:1'):
+        get_scene(str(evil))
+
+
+def test_chai_rejects_import(tmp_path):
+    evil = tmp_path / 'imp.chai'
+    evil.write_text("import os\n")
+    with pytest.raises(RuntimeError, match='imp.chai:1'):
+        get_scene(str(evil))

@@ -100,3 +100,21 @@ def test_guided_sampler_prefers_bright_buckets():
     assert frac5 > 0.8  # 5.0 / 5.7 of the probability mass
     ip = np.asarray(invprob)[b == 5]
     np.testing.assert_allclose(ip, total[0] / (5.0 * 8.0), rtol=1e-4)
+
+
+def test_guiding_energy_clamp_ignores_nan():
+    # cum_mask with an exact-zero channel makes total/cum_mask NaN; CUDA's
+    # fminf(100, NaN) == 100, so the cache update must not poison itself
+    # (kernels.h:872; ADVICE.md round 1, high)
+    import jax.numpy as jnp
+    from cuda_pathtracer_tpu.models.guiding import (
+        SampleCache, accumulate_buckets, SAMPLE_BUCKET, ENERGY_CLAMP)
+    cache = SampleCache(
+        stype=jnp.full((3, 2), SAMPLE_BUCKET, jnp.int32),
+        tri=jnp.zeros((3, 2), jnp.int32),
+        bucket=jnp.zeros((3, 2), jnp.int32),
+        cum_mask=jnp.zeros((3, 2, 3), jnp.float32))   # all-zero mask -> 0/0
+    total = jnp.zeros((2, 3), jnp.float32)
+    sums, counts = accumulate_buckets(4, cache, total)
+    assert np.isfinite(np.asarray(sums)).all()
+    assert float(sums[0, 0]) == ENERGY_CLAMP * 6   # every entry clamps to 100
