@@ -12,8 +12,12 @@ Every row of the table is float32[128] and is either:
           [97:113] child row refs (bitcast int32)
           empty slots get inside-out boxes (never hit)
   leaf:   [0] = -n_tris   (1..12)
-          [1:109]   triangles v0|v1|v2 interleaved per tri (12 x 9 floats,
-                    world space)
+          [1:109]   triangles in FIELD-MAJOR order: field j of all 12 tris
+                    at [1+12j : 1+12j+12], j over (v0x v0y v0z v1x v1y v1z
+                    v2x v2y v2z), world space. Field-major lets the Pallas
+                    packet kernel (ops/traverse_packet.py) slice per-field
+                    [12,1] vectors from a transposed row with NO reshape
+                    (Mosaic rejects general shape casts).
           [109:121] world-triangle indices (bitcast int32) into the flat
                     WorldArrays triangle list (for shading attribute lookup)
 
@@ -106,7 +110,10 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
         n = len(tris)
         assert 1 <= n <= LEAF_MAX
         row[0] = -float(n)
-        row[LEAF_TRIS:LEAF_TRIS + 9 * n] = np.concatenate(tris)
+        # field-major: [9, LEAF_MAX] flattened; absent tris stay zero
+        fm = np.zeros((9, LEAF_MAX), np.float32)
+        fm[:, :n] = np.stack(tris, axis=1)
+        row[LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX] = fm.reshape(-1)
         row[LEAF_GIDS:LEAF_GIDS + n] = np.frombuffer(
             np.asarray(gids, np.int32).tobytes(), np.float32)
         rows.append(row)
@@ -180,8 +187,9 @@ def transform_wide_rows(rows: np.ndarray, m34: np.ndarray) -> np.ndarray:
 
     leaf = tag < 0
     if leaf.any():
-        tr = rows[leaf, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(-1, LEAF_MAX, 3, 3)
-        w = tr @ rot.T + trn
+        # field-major [9, 12] per row -> [R, 3 verts, 3 xyz, 12 tris]
+        tr = rows[leaf, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(-1, 3, 3, LEAF_MAX)
+        w = np.einsum('ij,rvjt->rvit', rot, tr) + trn[None, None, :, None]
         out[leaf, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX] = w.reshape(leaf.sum(), -1)
 
     inner = tag > 0
@@ -262,9 +270,11 @@ def build_world_wide(model_wides: list[WideBVH],
             bmax = box[3:6, valid].max(axis=1)
         else:
             ntr = int(-tag)
-            t = rows[0, LEAF_TRIS:LEAF_TRIS + 9 * ntr].reshape(ntr, 3, 3)
-            bmin = t.reshape(-1, 3).min(axis=0)
-            bmax = t.reshape(-1, 3).max(axis=0)
+            # field-major: [3 verts, 3 xyz, 12 tris]
+            t = rows[0, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(3, 3, LEAF_MAX)
+            pts = t[:, :, :ntr].transpose(0, 2, 1).reshape(-1, 3)
+            bmin = pts.min(axis=0)
+            bmax = pts.max(axis=0)
         root_boxes.append((bmin, bmax))
         pos += len(rows)
 

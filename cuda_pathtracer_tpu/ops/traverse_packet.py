@@ -1,0 +1,370 @@
+"""Packet BVH traversal — the Pallas TPU kernel (the performance path).
+
+Replaces the XLA-gather lockstep walk (ops/traverse_wide.py) for scenes whose
+node tables fit in VMEM. Measured motivation (tools/pallas_probe_r2*.py, TPU
+v5lite): XLA's gather engine moves ~150-400 M rows/s, capping any
+gather-per-iteration design at single-digit Mrays/s; inside a Mosaic kernel a
+data-dependent row read from a VMEM-resident table costs ~7-14 ns and the
+vector->scalar traversal decision ~10-35 ns when a few independent packets
+are interleaved — two orders of magnitude below the XLA per-row cost.
+
+Design (all constraints are measured Mosaic lowering rules, see the probes):
+  * A PACKET of 128 rays shares one traversal: the packet visits the union of
+    the nodes its rays want. Rays live on VPU lanes; per-node child boxes /
+    leaf triangles live on sublanes, sliced as [16,1]/[12,1] columns from the
+    TRANSPOSED node row ((1,128) -> (128,1) transpose is one relayout; general
+    reshapes do not lower).
+  * The node table is split in two (inner boxes / leaf triangles) so the
+    leaf-vs-inner decision is the SIGN of the child ref — a pure scalar — and
+    no per-step tag extraction from vector land is needed (Mosaic cannot
+    broadcast a (1,1) slice across both sublanes and lanes).
+  * Empty child slots carry NaN boxes: the slab test rejects them for free.
+    Empty triangle slots are degenerate (all-zero): Möller-Trumbore's
+    determinant cutoff rejects them for free.
+  * The per-packet stack is (node, visited-mask) pairs in SMEM, exactly the
+    masked short-stack of the XLA path: a pop re-fetches the parent row and
+    re-prunes against the improved t.
+  * NPK packets are interleaved in one loop so the vector->scalar latency of
+    one packet hides behind the vector work of the others.
+
+Semantics match traverse_wide (same visited-mask policy, same nearest-first
+descent, same lowest-gid tie rule inside a leaf), so the two paths can be
+diff-tested; the reference semantics are kernels.h:202-387.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import intersect as isect
+from .traverse import Hit, PRIM_TRIANGLE, _primitives_prepass
+from ..constants import T_MAX
+from ..accel.wide import (ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
+                          LEAF_TRIS, LEAF_GIDS, LEAF_GID_MAX)
+
+PACKET = 128          # rays per packet = VPU lane count
+NPK = 8               # interleaved packets per grid step (block
+                      # sublane dims must divide 8: 3*NPK=24, NPK=8)
+BIG = 3.0e38
+DONE = 2 ** 30          # plain python int: kernels must not capture traced constants
+MT_DET_EPS = 1e-4   # kernels.h:134 parity (ops/intersect.py:27)
+
+# packet-table lane layout (inner rows)
+PBOX0 = 0             # [0:96]  six 16-wide field blocks (NaN for empty slots)
+PREFS = 96            # [96:112] signed child refs (int32 bitcast):
+                      #          >=0 inner row, <0 leaf row (~ref)
+# packet-table lane layout (leaf rows)
+PTRIS = 0             # [0:108] field-major 9 x 12 triangle fields
+PGIDS = 108           # [108:120] world-triangle ids (int32 bitcast)
+
+
+class PacketTables(NamedTuple):
+    inner: jnp.ndarray   # f32[Ni, 128]
+    leaf: jnp.ndarray    # f32[Nl, 128]
+    depth: int
+
+
+def split_packet_tables(wide_rows: np.ndarray, depth: int) -> PacketTables:
+    """Derive the two VMEM packet tables from the unified wide table
+    (accel/wide.py layout). Pure numpy, runs once per scene upload."""
+    rows = np.asarray(wide_rows, np.float32)
+    tag = rows[:, 0]
+    inner_ids = np.flatnonzero(tag > 0)
+    leaf_ids = np.flatnonzero(tag < 0)
+    remap = np.zeros(len(rows), np.int32)
+    remap[inner_ids] = np.arange(len(inner_ids), dtype=np.int32)
+    remap[leaf_ids] = ~np.arange(len(leaf_ids), dtype=np.int32)  # <0 => leaf
+
+    if len(inner_ids) == 0:
+        # single-leaf scene: synthesize an always-hit inner root
+        inner = np.zeros((1, 128), np.float32)
+        box = np.full((6, ARITY), np.nan, np.float32)
+        box[0:3, 0] = -BIG
+        box[3:6, 0] = BIG
+        inner[0, PBOX0:PBOX0 + 96] = box.reshape(-1)
+        refs = np.zeros(ARITY, np.int32)
+        refs[0] = -1 if len(leaf_ids) else 0   # ~0 == -1 -> leaf row 0
+        inner[0, PREFS:PREFS + ARITY] = refs.view(np.float32)
+    else:
+        assert tag[0] > 0, 'wide root must be an inner row'
+        src = rows[inner_ids]
+        inner = np.zeros((len(inner_ids), 128), np.float32)
+        box = src[:, INNER_BOX0:INNER_BOX0 + 96].reshape(-1, 6, ARITY).copy()
+        n_child = src[:, 0].astype(np.int32)
+        empty = np.arange(ARITY)[None, :] >= n_child[:, None]
+        box[:, :, :] = np.where(empty[:, None, :], np.nan, box)
+        inner[:, PBOX0:PBOX0 + 96] = box.reshape(-1, 96)
+        refs = src[:, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
+        refs = np.where(empty, 0, remap[np.clip(refs, 0, len(rows) - 1)])
+        inner[:, PREFS:PREFS + ARITY] = refs.astype(np.int32).view(np.float32)
+
+    if len(leaf_ids) == 0:
+        leaf = np.zeros((1, 128), np.float32)
+    else:
+        src = rows[leaf_ids]
+        leaf = np.zeros((len(leaf_ids), 128), np.float32)
+        leaf[:, PTRIS:PTRIS + 9 * LEAF_MAX] = \
+            src[:, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX]
+        leaf[:, PGIDS:PGIDS + LEAF_MAX] = src[:, LEAF_GIDS:LEAF_GID_MAX]
+        # zero the gid of empty slots (harmless; they are never selected)
+    return PacketTables(jnp.asarray(inner), jnp.asarray(leaf), depth)
+
+
+def _kernel(npk: int, d: int, interpret: bool):
+    def kernel(itab_ref, ltab_ref, o_ref, dv_ref, iv_ref, t0_ref, soh_ref,
+               live_ref, t_out, gid_out, hit_out, stk_n, stk_m,
+               t_s, gid_s, fnd_s):
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
+        bits16 = (1 << iota16)
+        o = o_ref[:]
+        dv = dv_ref[:]
+        iv = iv_ref[:]
+        soh = soh_ref[:]     # i32 [npk,128]
+        live = live_ref[:]   # i32 [npk,128]
+
+        def step_packet(p, cur, curmask, sp, t_s, gid_s, fnd_s):
+            """One traversal step for packet p. Both leaf and inner math run
+            every step (the unselected one reads row 0 of its table); the
+            scalar `cur` sign selects which result applies. Per-ray state
+            (t/best/found) lives in VMEM scratch refs — carrying (1,128)
+            vectors through the while loop trips Mosaic layout inference."""
+            t = t_s[p:p + 1, :]
+            best = gid_s[p:p + 1, :]
+            found = fnd_s[p:p + 1, :] != 0
+            is_leaf = cur < 0
+            alive = cur != DONE
+            irow = jnp.where(is_leaf | ~alive, 0, cur)
+            lrow = jnp.where(is_leaf & alive, ~cur, 0)
+            rowI = jnp.transpose(itab_ref[pl.ds(irow, 1), :])   # (128,1)
+            rowL = jnp.transpose(ltab_ref[pl.ds(lrow, 1), :])
+
+            op = o[3 * p:3 * p + 3]
+            dp = dv[3 * p:3 * p + 3]
+            ip = iv[3 * p:3 * p + 3]
+            ox, oy, oz = op[0:1], op[1:2], op[2:3]
+            dx, dy, dz = dp[0:1], dp[1:2], dp[2:3]
+            ivx, ivy, ivz = ip[0:1], ip[1:2], ip[2:3]
+            livep = live[p:p + 1] != 0
+            sohp = soh[p:p + 1] != 0
+            # rays that must not contribute anymore: dead, or satisfied
+            # stop-on-hit lanes
+            t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
+
+            # ---- leaf: 12 field-major Moller-Trumbore tests ----
+            def f12(j):
+                return jnp.broadcast_to(
+                    rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12], (LEAF_MAX, 128))
+            v0x, v0y, v0z = f12(0), f12(1), f12(2)
+            v1x, v1y, v1z = f12(3), f12(4), f12(5)
+            v2x, v2y, v2z = f12(6), f12(7), f12(8)
+            e1x = v1x - v0x; e1y = v1y - v0y; e1z = v1z - v0z
+            e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            # same determinant cutoff as isect.ray_triangle (kernels.h:134)
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                   & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t_scan))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)          # [1,128]
+            gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
+                rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
+            leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids, jnp.int32(2 ** 30)),
+                               axis=0, keepdims=True)
+            leaf_found = jnp.any(okm, axis=0, keepdims=True)
+            take = leaf_found & is_leaf
+            t2 = jnp.where(take, jnp.minimum(t, leaf_t), t)
+            best2 = jnp.where(take & (leaf_t < t), leaf_gid, best)
+            found2 = found | take
+            t_s[p:p + 1, :] = t2
+            gid_s[p:p + 1, :] = best2
+            fnd_s[p:p + 1, :] = found2.astype(jnp.int32)
+
+            # ---- inner: 16 slab tests (NaN boxes reject empty slots) ----
+            t_scan2 = jnp.where(livep & ~(sohp & found2), t2, -BIG)
+
+            def f16(k):
+                return jnp.broadcast_to(
+                    rowI[PBOX0 + k * 16:PBOX0 + (k + 1) * 16], (ARITY, 128))
+            lox, loy, loz = f16(0), f16(1), f16(2)
+            hix, hiy, hiz = f16(3), f16(4), f16(5)
+            t0x = (lox - ox) * ivx; t1x = (hix - ox) * ivx
+            t0y = (loy - oy) * ivy; t1y = (hiy - oy) * ivy
+            t0z = (loz - oz) * ivz; t1z = (hiz - oz) * ivz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan2)
+            vis = jnp.bitwise_and(jnp.right_shift(
+                jnp.full((ARITY, 128), 1, jnp.int32) * curmask,
+                jnp.broadcast_to(iota16, (ARITY, 128))), 1)
+            chit = chit & (vis == 0)
+            tsel = jnp.where(chit, tmin, BIG)
+            pc_min = jnp.min(tsel, axis=1, keepdims=True)          # [16,1]
+            anyc = jnp.any(chit, axis=1, keepdims=True)
+            key = jnp.where(anyc, pc_min, BIG)
+            kmin = jnp.min(key, axis=0, keepdims=True)
+            iota_sel = jnp.where((key == kmin) & anyc, iota16, ARITY)
+            selc = jnp.min(iota_sel)                               # scalar
+            sel_onehot = iota_sel == jnp.broadcast_to(
+                jnp.full((1, 1), 1, jnp.int32) * selc, (ARITY, 1))
+            sel_onehot = sel_onehot & anyc
+            refs = jax.lax.bitcast_convert_type(
+                rowI[PREFS:PREFS + ARITY], jnp.int32)
+            selref = jnp.sum(jnp.where(sel_onehot, refs, 0))
+            selbit = jnp.sum(jnp.where(sel_onehot, bits16, 0))
+            nhits = jnp.sum(anyc.astype(jnp.int32))
+
+            # ---- scalar traversal decision ----
+            descend = alive & ~is_leaf & (nhits > 0)
+            do_push = descend & (nhits > 1) & (sp < d)
+            @pl.when(do_push)
+            def _():
+                stk_n[p, sp] = cur
+                stk_m[p, sp] = curmask | selbit
+            sp2 = jnp.where(do_push, sp + 1, sp)
+            can_pop = alive & ~descend & (sp2 > 0)
+            spr = jnp.where(can_pop, sp2 - 1, sp2)
+            pn = stk_n[p, spr]
+            pm = stk_m[p, spr]
+            nxt = jnp.where(descend, selref, jnp.where(can_pop, pn, DONE))
+            nmask = jnp.where(descend, 0, jnp.where(can_pop, pm, 0))
+            nsp = jnp.where(can_pop, spr, sp2)
+            return (nxt.astype(jnp.int32), nmask.astype(jnp.int32),
+                    nsp.astype(jnp.int32))
+
+        def cond(carry):
+            curs = carry[0]
+            aliv = curs[0] != DONE
+            for p in range(1, npk):
+                aliv = aliv | (curs[p] != DONE)
+            return aliv
+
+        def body(carry):
+            curs, masks, sps = carry
+            out = [step_packet(p, curs[p], masks[p], sps[p],
+                               t_s, gid_s, fnd_s) for p in range(npk)]
+            return (tuple(r[0] for r in out), tuple(r[1] for r in out),
+                    tuple(r[2] for r in out))
+
+        # a packet starts at the root iff any of its lanes participates
+        t0v = t0_ref[:]
+        t_s[:, :] = t0v
+        gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
+        fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+        starts = []
+        for p in range(npk):
+            stk_n[p, 0] = 0
+            stk_m[p, 0] = 0
+            any_live = jnp.sum((live[p:p + 1] != 0).astype(jnp.int32))
+            starts.append(jnp.where(any_live > 0, jnp.int32(0), DONE))
+        init = (tuple(starts),
+                tuple(jnp.int32(0) for _ in range(npk)),
+                tuple(jnp.int32(0) for _ in range(npk)))
+        jax.lax.while_loop(cond, body, init)
+        t_out[:, :] = t_s[:, :]
+        gid_out[:, :] = gid_s[:, :]
+        hit_out[:, :] = fnd_s[:, :]
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('depth', 'interpret'))
+def _run_packets(itab, ltab, o, dv, iv, t0, soh, live, *, depth: int,
+                 interpret: bool):
+    """o/dv/iv: f32[G*3*NPK, 128]; t0: f32[G*NPK, 128]; soh/live i32.
+    Returns (t, gid, hit) each [G*NPK, 128]."""
+    gn = t0.shape[0] // NPK
+    grid = (gn,)
+    d = depth + 2
+    ray3 = pl.BlockSpec((3 * NPK, PACKET), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+    ray1f = pl.BlockSpec((NPK, PACKET), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+    ray1i = pl.BlockSpec((NPK, PACKET), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct(t0.shape, jnp.float32),
+                  jax.ShapeDtypeStruct(t0.shape, jnp.int32),
+                  jax.ShapeDtypeStruct(t0.shape, jnp.int32))
+    return pl.pallas_call(
+        _kernel(NPK, d, interpret),
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[tabspec, tabspec, ray3, ray3, ray3, ray1f, ray1i, ray1i],
+        out_specs=(ray1f, ray1i, ray1i),
+        scratch_shapes=[pltpu.SMEM((NPK, d + 1), jnp.int32),
+                        pltpu.SMEM((NPK, d + 1), jnp.int32),
+                        pltpu.VMEM((NPK, PACKET), jnp.float32),
+                        pltpu.VMEM((NPK, PACKET), jnp.int32),
+                        pltpu.VMEM((NPK, PACKET), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(itab, ltab, o, dv, iv, t0, soh, live)
+
+
+def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
+                    active=None, any_hit: bool = False, stop_on_hit=None,
+                    interpret: bool = False) -> Hit:
+    """Contract-compatible with traverse/traverse_wide (same Hit, same
+    sphere/plane prepass); triangles via the packet kernel."""
+    B = ro.shape[0]
+    if t_max is None:
+        t_max = jnp.full((B,), T_MAX, jnp.float32)
+    if active is None:
+        active = jnp.ones((B,), bool)
+    t0, ptype0, pid0, found0 = _primitives_prepass(scene, ro, rd, t_max,
+                                                   any_hit)
+    if stop_on_hit is None:
+        stop_on_hit = jnp.full((B,), bool(any_hit))
+    live = active & ~(stop_on_hit & found0)
+
+    lanes_per_g = PACKET * NPK
+    Bp = -(-B // lanes_per_g) * lanes_per_g
+
+    def pad2(x, fill):
+        x = jnp.pad(x, ((0, Bp - B),) + ((0, 0),) * (x.ndim - 1),
+                    constant_values=fill)
+        return x
+
+    rop = pad2(ro, 0.0).reshape(-1, NPK, PACKET, 3)
+    rdp = pad2(rd, 1.0).reshape(-1, NPK, PACKET, 3)
+    inv = isect.safe_inv_dir(rdp)
+    # [G, NPK, 128, 3] -> [G*3*NPK, 128]
+    o3 = jnp.moveaxis(rop, -1, -2).reshape(-1, PACKET)
+    d3 = jnp.moveaxis(rdp, -1, -2).reshape(-1, PACKET)
+    i3 = jnp.moveaxis(inv, -1, -2).reshape(-1, PACKET)
+    t0p = pad2(t0, -1.0).reshape(-1, PACKET)
+    sohp = pad2(stop_on_hit, True).astype(jnp.int32).reshape(-1, PACKET)
+    livep = pad2(live, False).astype(jnp.int32).reshape(-1, PACKET)
+
+    tk, gidk, hitk = _run_packets(tables.inner, tables.leaf, o3, d3, i3,
+                                  t0p, sohp, livep, depth=tables.depth,
+                                  interpret=interpret)
+    tk = tk.reshape(-1)[:B]
+    gidk = gidk.reshape(-1)[:B]
+    hitk = hitk.reshape(-1)[:B] != 0
+
+    ptype = jnp.where(hitk, PRIM_TRIANGLE, ptype0)
+    pid = jnp.where(hitk, gidk, pid0)
+    intersected = active & (hitk | found0)
+    return Hit(t=tk, prim_type=ptype, prim_id=pid, intersected=intersected)

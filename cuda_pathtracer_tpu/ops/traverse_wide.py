@@ -71,13 +71,15 @@ def traverse_wide(scene, wide_rows, depth: int, ro, rd, t_max=None,
 
         t = c['t']
 
-        # ---- leaf: up to 12 inline triangles ----
+        # ---- leaf: up to 12 inline triangles (field-major layout) ----
         ntr = (-tag).astype(jnp.int32)
         tris = row[..., LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(
-            *B, LEAF_MAX, 9)
+            *B, 9, LEAF_MAX)
+        v0 = jnp.moveaxis(tris[..., 0:3, :], -2, -1)   # [B, 12, 3]
+        v1 = jnp.moveaxis(tris[..., 3:6, :], -2, -1)
+        v2 = jnp.moveaxis(tris[..., 6:9, :], -2, -1)
         h, tt, _, _ = isect.ray_triangle(ro[..., None, :], rd[..., None, :],
-                                         tris[..., 0:3], tris[..., 3:6],
-                                         tris[..., 6:9])
+                                         v0, v1, v2)
         lv = h & (lane12 < ntr[..., None]) & (tt < t[..., None]) \
             & is_leaf[..., None]
         # min-reduce + equality re-select instead of argmin/take_along_axis:

@@ -1,0 +1,111 @@
+"""Packet-traversal kernel (ops/traverse_packet.py) vs the XLA wide path.
+
+Runs the Pallas kernel in interpreter mode on the CPU mesh (SURVEY.md §4's
+"fake backend" strategy); on TPU the same kernel compiles via Mosaic. Parity
+on real hardware is FMA-boundary-exact (~1e-5 of lanes may flip on borderline
+intersections); in interpret mode it is bit-exact.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuda_pathtracer_tpu.scene.scene import Scene, Material, GameObject
+from cuda_pathtracer_tpu.core import camera as cam_mod
+from cuda_pathtracer_tpu.ops.traverse_wide import traverse_wide
+from cuda_pathtracer_tpu.ops import traverse_packet as tpk
+
+
+@pytest.fixture(scope='module')
+def teapot_scene(reference_assets):
+    scene = Scene(asset_dirs=[reference_assets])
+    m = scene.add_material(Material.DIFFUSE((0.4,) * 3))
+    scene.add_object(GameObject(
+        scene.add_model('teapot.obj', 1.0, (0, 0, 0), (0, 0, 0), m)))
+    g2 = GameObject(scene.add_model('cube.obj', 1.0, (0, 0, 0), (0, 0, 0), m))
+    g2.position[:] = [2.5, 0.5, 1.0]
+    scene.add_object(g2)
+    scene.finalize()
+    arrays, dyn = scene.to_device(), scene.dynamic_arrays()
+    tables = tpk.split_packet_tables(np.asarray(dyn.wide_rows),
+                                     scene.wide_depth)
+    return scene, arrays, dyn, tables
+
+
+def _rays(n=64 * 48):
+    cam = cam_mod.Camera.create([0, 1.5, -6], [0, 0, 1], 1.5, 6, 0.0)
+    W, H = 64, n // 64
+    ys, xs = np.mgrid[0:H, 0:W]
+    return cam_mod.generate_rays_simple(
+        cam, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()), W, H)
+
+
+def test_packet_closest_hit_parity(teapot_scene):
+    scene, arrays, dyn, tables = teapot_scene
+    ro, rd = _rays()
+    hw = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth, ro, rd)
+    hp = tpk.traverse_packet(arrays, tables, ro, rd, interpret=True)
+    assert (np.asarray(hw.intersected) == np.asarray(hp.intersected)).all()
+    both = np.asarray(hw.intersected)
+    assert np.allclose(np.asarray(hw.t)[both], np.asarray(hp.t)[both],
+                       rtol=1e-5, atol=1e-5)
+    assert (np.asarray(hw.prim_id)[both] == np.asarray(hp.prim_id)[both]).all()
+    assert 0.05 < both.mean() < 0.6
+
+
+def test_packet_any_hit_parity(teapot_scene):
+    scene, arrays, dyn, tables = teapot_scene
+    ro, rd = _rays()
+    hw = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth, ro, rd,
+                       any_hit=True)
+    hp = tpk.traverse_packet(arrays, tables, ro, rd, any_hit=True,
+                             interpret=True)
+    assert (np.asarray(hw.intersected) == np.asarray(hp.intersected)).all()
+
+
+def test_packet_mixed_stop_on_hit(teapot_scene):
+    """Fused extend+shadow semantics: per-lane stop_on_hit halts individual
+    lanes at their first hit while others find the closest."""
+    scene, arrays, dyn, tables = teapot_scene
+    ro, rd = _rays()
+    B = ro.shape[0]
+    soh = jnp.asarray((np.arange(B) % 2) == 0)
+    hw = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth, ro, rd,
+                       stop_on_hit=soh)
+    hp = tpk.traverse_packet(arrays, tables, ro, rd, stop_on_hit=soh,
+                             interpret=True)
+    assert (np.asarray(hw.intersected) == np.asarray(hp.intersected)).all()
+    # non-stop lanes must agree exactly on the closest hit
+    closest = np.asarray(hw.intersected) & ~np.asarray(soh)
+    assert np.allclose(np.asarray(hw.t)[closest], np.asarray(hp.t)[closest],
+                       rtol=1e-5, atol=1e-5)
+
+
+def test_packet_inactive_and_tmax(teapot_scene):
+    scene, arrays, dyn, tables = teapot_scene
+    ro, rd = _rays()
+    B = ro.shape[0]
+    active = jnp.asarray(np.arange(B) % 3 != 0)
+    tm = jnp.full((B,), 4.5, jnp.float32)
+    hw = traverse_wide(arrays, dyn.wide_rows, scene.wide_depth, ro, rd,
+                       t_max=tm, active=active)
+    hp = tpk.traverse_packet(arrays, tables, ro, rd, t_max=tm, active=active,
+                             interpret=True)
+    assert (np.asarray(hw.intersected) == np.asarray(hp.intersected)).all()
+    assert not np.asarray(hp.intersected)[~np.asarray(active)].any()
+
+
+def test_split_tables_structure(teapot_scene):
+    scene, arrays, dyn, tables = teapot_scene
+    wide = np.asarray(dyn.wide_rows)
+    n_inner = int((wide[:, 0] > 0).sum())
+    n_leaf = int((wide[:, 0] < 0).sum())
+    assert tables.inner.shape == (n_inner, 128)
+    assert tables.leaf.shape == (n_leaf, 128)
+    refs = np.asarray(tables.inner)[:, tpk.PREFS:tpk.PREFS + 16].view(np.int32)
+    boxes = np.asarray(tables.inner)[:, :96].reshape(-1, 6, 16)
+    empty = np.isnan(boxes[:, 0, :])
+    # every non-empty ref addresses a valid row of its table
+    inner_refs = refs[(~empty) & (refs >= 0)]
+    leaf_refs = refs[(~empty) & (refs < 0)]
+    assert (inner_refs < n_inner).all()
+    assert ((~leaf_refs) < n_leaf).all()
