@@ -54,23 +54,69 @@ class _BounceCarry(NamedTuple):
     albedo_add: jnp.ndarray
     albedo_inc: jnp.ndarray
     rays_traced: jnp.ndarray  # i64-ish f32 counter: extend + connect rays
-    # pending shadow rays from the PREVIOUS bounce's shade — traced fused
-    # with this bounce's extension rays (one traversal instead of two)
-    shadow_o: jnp.ndarray
-    shadow_d: jnp.ndarray
-    shadow_tmax: jnp.ndarray
-    shadow_active: jnp.ndarray
+
+
+def _sort_order(ro, rd, bounds):
+    """Coherence sort key for packet traversal: 27-bit morton code of the ray
+    origin (9 bits/axis against the world bounds) with the 3-bit direction
+    octant as the minor key. Groups bounce-wavefront rays into packets that
+    share BVH subtrees (the TPU replacement for the reference's abandoned
+    CUDA ray sorting, src/raySorting.h — cheap here, and packets NEED it)."""
+    q = jnp.clip((ro - bounds[0]) / bounds[1], 0.0, 1.0)
+    q = (q * 511.0).astype(jnp.int32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+              | (spread(q[:, 2]) << 2))
+    octant = ((rd[:, 0] > 0).astype(jnp.int32)
+              | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
+    return jnp.argsort((morton << 3) | octant)
+
+
+def _tile_coords(lanes, width: int):
+    """Lane -> pixel mapping in 8x16-tile order: each 128-lane traversal
+    packet is one compact 8-row x 16-column pixel tile instead of a thin
+    scanline strip (tighter ray cones -> smaller packet unions)."""
+    tpr = width // 16
+    g = lanes // 128
+    w = lanes % 128
+    xs = (g % tpr) * 16 + w % 16
+    ys = (g // tpr) * 8 + w // 16
+    return xs, ys
+
+
+def tile_permutation(width: int, height: int):
+    """numpy lane->pixel permutation for the tile order (for display
+    unpermute); None when the resolution doesn't tile."""
+    import numpy as np
+    if width % 16 or height % 8:
+        return None
+    lanes = np.arange(width * height)
+    tpr = width // 16
+    g, w = lanes // 128, lanes % 128
+    xs = (g % tpr) * 16 + w % 16
+    ys = (g // tpr) * 8 + w // 16
+    return ys * width + xs
 
 
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
-                                   'guide_axis', 'wide_depth', 'defer_guide'))
+                                   'guide_axis', 'wide_depth', 'defer_guide',
+                                   'tile_order'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
                   row_offset=0, guide_axis: str | None = None,
-                  wide_depth: int = 0, defer_guide: bool = False):
+                  wide_depth: int = 0, defer_guide: bool = False,
+                  tile_order: bool = False):
     """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
 
     Mirrors one iteration of the sample loop in Pathtracer::Render
@@ -80,12 +126,25 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     horizontal band: `height` is the band height, `row_offset` (traced) the
     band's first global row and `full_height` the full image height — pixel
     coordinates, and therefore RNG streams, stay globally consistent, so a
-    sharded render is bit-identical to single-chip."""
+    sharded render is bit-identical to single-chip.
+
+    With tile_order=True lanes map to pixels in 8x16-tile order so each
+    traversal packet is a compact pixel tile; accumulators come back in LANE
+    order (unpermute with tile_permutation for display). RNG streams are
+    keyed on pixel coordinates, so the rendered image is identical either
+    way."""
     full_height = full_height or height
     B = width * height
     lanes = jnp.arange(B, dtype=jnp.int32)
-    xs = lanes % width
-    ys = lanes // width + jnp.asarray(row_offset, jnp.int32)
+    if tile_order:
+        xs, tys = _tile_coords(lanes, width)
+        ys = tys + jnp.asarray(row_offset, jnp.int32)
+    else:
+        xs = lanes % width
+        ys = lanes // width + jnp.asarray(row_offset, jnp.int32)
+    # sorting only pays on the packet path (static shape-based decision)
+    from ..ops.dispatch import use_packet_path
+    do_sort = use_packet_path(dyn)
 
     # generate primary rays (kernel_generate_primary_rays, kernels.h:493-501;
     # camera jitter uses the raw xorshift stream, types.h:641-658)
@@ -103,48 +162,40 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         rand_idx=rand_idx,
         albedo_add=jnp.zeros((B, 3), jnp.float32),
         albedo_inc=jnp.zeros(B, jnp.float32),
-        rays_traced=jnp.zeros((), jnp.float32),
-        shadow_o=jnp.zeros((B, 3), jnp.float32),
-        shadow_d=jnp.zeros((B, 3), jnp.float32),
-        shadow_tmax=jnp.zeros(B, jnp.float32),
-        shadow_active=jnp.zeros(B, bool))
+        rays_traced=jnp.zeros((), jnp.float32))
 
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
-    def _connect_pending(c: _BounceCarry, occluded):
-        """Apply the previous bounce's NEE (kernel_connect semantics): the
-        pending light recorded by that shade pass lands in accucolor iff the
-        shadow ray was unoccluded."""
-        add = c.shadow_active & ~occluded
-        return c.state._replace(
-            accucolor=c.state.accucolor
-            + jnp.where(add[..., None], c.state.light, 0.0))
-
     def _bounce_body(c: _BounceCarry, xs_l, ys_l, Bl: int):
-        if nee:
-            # FUSED traversal: extension rays (closest hit) + previous
-            # bounce's shadow rays (stop-on-first-hit) in one 2B-lane call
-            hits = trace(scene, dyn,
-                         jnp.concatenate([c.ro, c.shadow_o]),
-                         jnp.concatenate([c.rd, c.shadow_d]),
-                         t_max=jnp.concatenate([jnp.full(Bl, T_MAX, jnp.float32),
-                                                c.shadow_tmax]),
-                         active=jnp.concatenate([c.alive, c.shadow_active]),
-                         stop_on_hit=jnp.concatenate([jnp.zeros(Bl, bool),
-                                                      jnp.ones(Bl, bool)]),
-                         wide_depth=wide_depth)
-            hit = jax.tree.map(lambda a: a[:Bl], hits)
-            st = _connect_pending(c, hits.intersected[Bl:])
-        else:
-            hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
-                        wide_depth=wide_depth)
-            st = c.state
+        # extend: closest hit. On the packet path bounce rays (everything
+        # after the tile-ordered primaries) are morton+octant sorted into
+        # coherent packets; the sort is gated on bounce>0 only through the
+        # data (primaries are already tile-coherent, and argsort on a
+        # constant key is the identity).
+        order = _sort_order(c.ro, c.rd, dyn.bounds) if do_sort else None
+        hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
+                    wide_depth=wide_depth, order=order)
 
-        out = shade(scene, dyn, c.ro, c.rd, hit, st, c.alive,
+        out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
                     xs_l, ys_l, c.rand_idx, sample_idx, c.bounce,
                     nee, cache_on, radiance, width)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
+
+        # connect: NEE shadow rays traced immediately (kernel_connect,
+        # src/kernels.h:799-810). Origins are this bounce's hit points:
+        # sorted by the same morton+octant key toward the light.
+        if nee:
+            sorder = (_sort_order(out.shadow_o, out.shadow_d, dyn.bounds)
+                      if do_sort else None)
+            sh = trace(scene, dyn, out.shadow_o, out.shadow_d,
+                       t_max=out.shadow_tmax, active=out.shadow_active,
+                       any_hit=True, wide_depth=wide_depth, order=sorder)
+            add = out.shadow_active & ~sh.intersected
+            st2 = out.state._replace(
+                accucolor=out.state.accucolor
+                + jnp.where(add[..., None], out.state.light, 0.0))
+            out = out._replace(state=st2)
 
         # sample-cache write for bounce < MAX_CACHE_DEPTH (kernels.h:536,795)
         w = jnp.minimum(c.bounce, MAX_CACHE_DEPTH - 1)
@@ -160,17 +211,16 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             bucket=upd(c.cache.bucket, out.cache_bucket),
             cum_mask=upd(c.cache.cum_mask, out.cache_cum_mask))
 
-        n_rays = jnp.sum(c.alive.astype(jnp.float32)) \
-            + jnp.sum(c.shadow_active.astype(jnp.float32))
+        n_rays = jnp.sum(c.alive.astype(jnp.float32))
+        if nee:
+            n_rays = n_rays + jnp.sum(out.shadow_active.astype(jnp.float32))
         return _BounceCarry(
             bounce=c.bounce + 1,
             ro=out.ray_o, rd=out.ray_d, alive=out.alive,
             state=out.state, cache=cache, rand_idx=rand_idx2,
             albedo_add=c.albedo_add + out.albedo_add,
             albedo_inc=c.albedo_inc + out.albedo_inc,
-            rays_traced=c.rays_traced + n_rays,
-            shadow_o=out.shadow_o, shadow_d=out.shadow_d,
-            shadow_tmax=out.shadow_tmax, shadow_active=out.shadow_active)
+            rays_traced=c.rays_traced + n_rays)
 
     def body(c: _BounceCarry):
         return _bounce_body(c, xs, ys, B)
@@ -189,20 +239,6 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     else:
         main_cond = cond
     final = jax.lax.while_loop(main_cond, body, carry)
-
-    def _flush_shadows(final):
-        if not nee:
-            return final
-        last = trace(scene, dyn, final.shadow_o, final.shadow_d,
-                     t_max=final.shadow_tmax, active=final.shadow_active,
-                     any_hit=True, wide_depth=wide_depth)
-        return final._replace(
-            state=_connect_pending(final, last.intersected),
-            shadow_active=jnp.zeros_like(final.shadow_active),
-            rays_traced=final.rays_traced
-            + jnp.sum(final.shadow_active.astype(jnp.float32)))
-
-    final = _flush_shadows(final)
 
     if use_tail:
         C = B // TAIL_DIV
@@ -235,11 +271,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                 rand_idx=tc['rand_idx'],
                 albedo_add=jnp.zeros((C, 3), jnp.float32),
                 albedo_inc=jnp.zeros(C, jnp.float32),
-                rays_traced=jnp.zeros((), jnp.float32),
-                shadow_o=jnp.zeros((C, 3), jnp.float32),
-                shadow_d=jnp.zeros((C, 3), jnp.float32),
-                shadow_tmax=jnp.zeros(C, jnp.float32),
-                shadow_active=jnp.zeros(C, bool))
+                rays_traced=jnp.zeros((), jnp.float32))
 
             def sub_body(c):
                 return _bounce_body(c, sub['xs'], sub['ys'], C)
@@ -247,7 +279,6 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             sf = jax.lax.while_loop(
                 lambda c: (c.bounce < max_bounces) & jnp.any(c.alive),
                 sub_body, sc)
-            sf = _flush_shadows(sf)
 
             # scatter results back by lane id; selected lanes are finished
             return dict(
@@ -316,7 +347,23 @@ class Pathtracer:
         self.bands = -(-height // rows_per_band)
         while height % self.bands:   # bands must divide the height evenly
             self.bands += 1
+        # packet tiles want 8-row-aligned bands; relax the lane cap a little
+        # to find one (e.g. 1080p -> 5 bands of 216 rows)
+        if width % 16 == 0 and height % 8 == 0:
+            b = self.bands
+            while b >= 1 and not (height % b == 0 and (height // b) % 8 == 0):
+                b -= 1
+            if b >= 1 and (height // b) * width <= self.MAX_LANES_PER_DISPATCH * 1.3:
+                self.bands = b
         self.band_h = height // self.bands
+        self.tile_order = (width % 16 == 0) and (self.band_h % 8 == 0)
+        self._inv_perm = None
+        if self.tile_order:
+            import numpy as _np
+            perm = tile_permutation(width, self.band_h)      # lane -> pixel
+            full = _np.concatenate([perm + b * self.band_h * width
+                                    for b in range(self.bands)])
+            self._inv_perm = jnp.asarray(_np.argsort(full))
         self.nee = True        # HNEE (src/pathtracer.h:213)
         self.cache = True      # HCACHE
         self.arrays = scene.to_device(skydome=skydome, blue_noise=blue_noise)
@@ -363,7 +410,8 @@ class Pathtracer:
                     guide,
                     nee=self.nee, cache_on=self.cache,
                     max_bounces=max_bounces,
-                    width=self.width, height=self.height, wide_depth=wd)
+                    width=self.width, height=self.height, wide_depth=wd,
+                    tile_order=self.tile_order)
             else:
                 # band-split frame: partial guiding sums combined, EMA once
                 lum_parts, alb_parts = [], []
@@ -384,7 +432,8 @@ class Pathtracer:
                         width=self.width, height=self.band_h,
                         full_height=self.height,
                         row_offset=b * self.band_h,
-                        wide_depth=wd, defer_guide=True)
+                        wide_depth=wd, defer_guide=True,
+                        tile_order=self.tile_order)
                     lum_parts.append(lum_b)
                     alb_parts.append(alb_b)
                     gsum = s_b if gsum is None else gsum + s_b
@@ -407,8 +456,21 @@ class Pathtracer:
 
     # ---- output helpers ----
 
+    def accumulators_pixel_order(self):
+        """(lum, alb) in pixel (row-major) order regardless of the internal
+        tile-lane layout — for goldens, checkpoints and display."""
+        if self._inv_perm is not None:
+            return self.lum[self._inv_perm], self.alb[self._inv_perm]
+        return self.lum, self.alb
+
     def image(self, blur: bool = False):
-        return film.display(self.lum, self.alb, float(self.sample_idx),
+        lum, alb = self.lum, self.alb
+        if self._inv_perm is not None:
+            # tile-ordered lanes -> pixel order (one device gather per
+            # displayed frame)
+            lum = lum[self._inv_perm]
+            alb = alb[self._inv_perm]
+        return film.display(lum, alb, float(self.sample_idx),
                             self.width, self.height, blur=blur)
 
     def energy(self):

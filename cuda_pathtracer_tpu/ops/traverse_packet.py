@@ -49,8 +49,12 @@ from ..accel.wide import (ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
                           LEAF_TRIS, LEAF_GIDS, LEAF_GID_MAX)
 
 PACKET = 128          # rays per packet = VPU lane count
-NPK = 8               # interleaved packets per grid step (block
-                      # sublane dims must divide 8: 3*NPK=24, NPK=8)
+NPK = 2               # interleaved packets per grid step. The step is
+                      # VPU-bound (~170 ns of vector work); large NPK causes
+                      # vector-register spills and straggler waste, so 2 is
+                      # the sweet spot (tools/pallas_probe_r2h/i.py).
+RAY_ROWS = 12         # fused ray-block rows per packet:
+                      # ox oy oz dx dy dz ivx ivy ivz t0 live soh
 BIG = 3.0e38
 DONE = 2 ** 30          # plain python int: kernels must not capture traced constants
 MT_DET_EPS = 1e-4   # kernels.h:134 parity (ops/intersect.py:27)
@@ -60,7 +64,8 @@ PBOX0 = 0             # [0:96]  six 16-wide field blocks (NaN for empty slots)
 PREFS = 96            # [96:112] signed child refs (int32 bitcast):
                       #          >=0 inner row, <0 leaf row (~ref)
 # packet-table lane layout (leaf rows)
-PTRIS = 0             # [0:108] field-major 9 x 12 triangle fields
+PTRIS = 0             # [0:108] field-major 9 x 12 triangle fields, in
+                      #         (v0, e1=v1-v0, e2=v2-v0) order
 PGIDS = 108           # [108:120] world-triangle ids (int32 bitcast)
 
 
@@ -109,132 +114,136 @@ def split_packet_tables(wide_rows: np.ndarray, depth: int) -> PacketTables:
     else:
         src = rows[leaf_ids]
         leaf = np.zeros((len(leaf_ids), 128), np.float32)
-        leaf[:, PTRIS:PTRIS + 9 * LEAF_MAX] = \
-            src[:, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX]
+        fm = src[:, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(-1, 3, 3,
+                                                                LEAF_MAX)
+        # store (v0, e1=v1-v0, e2=v2-v0): Moller-Trumbore never needs the raw
+        # v1/v2, so the kernel saves six [12,128] subtractions per leaf step.
+        # f32 subtraction here is bit-identical to doing it in-kernel.
+        pk = np.concatenate([fm[:, 0], fm[:, 1] - fm[:, 0],
+                             fm[:, 2] - fm[:, 0]], axis=1)  # [R, 9, 12]
+        leaf[:, PTRIS:PTRIS + 9 * LEAF_MAX] = pk.reshape(len(leaf_ids), -1)
         leaf[:, PGIDS:PGIDS + LEAF_MAX] = src[:, LEAF_GIDS:LEAF_GID_MAX]
         # zero the gid of empty slots (harmless; they are never selected)
     return PacketTables(jnp.asarray(inner), jnp.asarray(leaf), depth)
 
 
 def _kernel(npk: int, d: int, interpret: bool):
-    def kernel(itab_ref, ltab_ref, o_ref, dv_ref, iv_ref, t0_ref, soh_ref,
-               live_ref, t_out, gid_out, hit_out, stk_n, stk_m,
-               t_s, gid_s, fnd_s):
+    def kernel(itab_ref, ltab_ref, rays_ref, t_out, stk_n, stk_m,
+               t_s, gid_s, fnd_s, dec_s):
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
-        o = o_ref[:]
-        dv = dv_ref[:]
-        iv = iv_ref[:]
-        soh = soh_ref[:]     # i32 [npk,128]
-        live = live_ref[:]   # i32 [npk,128]
+        rays = rays_ref[:]   # [npk*12, 128]: 12 rows per packet (see RAY_ROWS)
 
-        def step_packet(p, cur, curmask, sp, t_s, gid_s, fnd_s):
-            """One traversal step for packet p. Both leaf and inner math run
-            every step (the unselected one reads row 0 of its table); the
-            scalar `cur` sign selects which result applies. Per-ray state
-            (t/best/found) lives in VMEM scratch refs — carrying (1,128)
-            vectors through the while loop trips Mosaic layout inference."""
-            t = t_s[p:p + 1, :]
-            best = gid_s[p:p + 1, :]
-            found = fnd_s[p:p + 1, :] != 0
+        def step_packet(p, cur, curmask, sp, t_s, gid_s, fnd_s, dec):
+            """One traversal step for packet p. The scalar sign of `cur`
+            selects the leaf or the inner branch — only the selected branch's
+            vector work executes (pl.when lowers to a real scalar branch).
+            Per-ray state (t/best/found) lives in VMEM scratch refs (carrying
+            (1,128) vectors through the while loop trips Mosaic layout
+            inference); the inner branch's scalar decisions pass through the
+            SMEM `dec` scratch."""
             is_leaf = cur < 0
             alive = cur != DONE
-            irow = jnp.where(is_leaf | ~alive, 0, cur)
-            lrow = jnp.where(is_leaf & alive, ~cur, 0)
-            rowI = jnp.transpose(itab_ref[pl.ds(irow, 1), :])   # (128,1)
-            rowL = jnp.transpose(ltab_ref[pl.ds(lrow, 1), :])
 
-            op = o[3 * p:3 * p + 3]
-            dp = dv[3 * p:3 * p + 3]
-            ip = iv[3 * p:3 * p + 3]
-            ox, oy, oz = op[0:1], op[1:2], op[2:3]
-            dx, dy, dz = dp[0:1], dp[1:2], dp[2:3]
-            ivx, ivy, ivz = ip[0:1], ip[1:2], ip[2:3]
-            livep = live[p:p + 1] != 0
-            sohp = soh[p:p + 1] != 0
-            # rays that must not contribute anymore: dead, or satisfied
-            # stop-on-hit lanes
-            t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
+            b = p * RAY_ROWS
+            ox, oy, oz = rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]
+            dx, dy, dz = rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]
+            ivx, ivy, ivz = (rays[b + 6:b + 7], rays[b + 7:b + 8],
+                             rays[b + 8:b + 9])
+            livep = rays[b + 10:b + 11] != 0.0
+            sohp = rays[b + 11:b + 12] != 0.0
 
-            # ---- leaf: 12 field-major Moller-Trumbore tests ----
-            def f12(j):
-                return jnp.broadcast_to(
-                    rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12], (LEAF_MAX, 128))
-            v0x, v0y, v0z = f12(0), f12(1), f12(2)
-            v1x, v1y, v1z = f12(3), f12(4), f12(5)
-            v2x, v2y, v2z = f12(6), f12(7), f12(8)
-            e1x = v1x - v0x; e1y = v1y - v0y; e1z = v1z - v0z
-            e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            # same determinant cutoff as isect.ray_triangle (kernels.h:134)
-            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
-            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = f * (dx * qx + dy * qy + dz * qz)
-            tt = f * (e2x * qx + e2y * qy + e2z * qz)
-            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
-                   & (vv >= 0.0) & (u + vv <= 1.0)
-                   & (tt > 0.0) & (tt < t_scan))
-            ttm = jnp.where(okm, tt, BIG)
-            leaf_t = jnp.min(ttm, axis=0, keepdims=True)          # [1,128]
-            gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
-                rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
-            leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids, jnp.int32(2 ** 30)),
-                               axis=0, keepdims=True)
-            leaf_found = jnp.any(okm, axis=0, keepdims=True)
-            take = leaf_found & is_leaf
-            t2 = jnp.where(take, jnp.minimum(t, leaf_t), t)
-            best2 = jnp.where(take & (leaf_t < t), leaf_gid, best)
-            found2 = found | take
-            t_s[p:p + 1, :] = t2
-            gid_s[p:p + 1, :] = best2
-            fnd_s[p:p + 1, :] = found2.astype(jnp.int32)
+            # ---- leaf branch: 12 field-major Moller-Trumbore tests ----
+            @pl.when(alive & is_leaf)
+            def _leaf():
+                rowL = jnp.transpose(ltab_ref[pl.ds(~cur, 1), :])  # (128,1)
+                t = t_s[p:p + 1, :]
+                best = gid_s[p:p + 1, :]
+                found = fnd_s[p:p + 1, :] != 0
+                # dead or satisfied stop-on-hit lanes contribute nothing
+                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
 
-            # ---- inner: 16 slab tests (NaN boxes reject empty slots) ----
-            t_scan2 = jnp.where(livep & ~(sohp & found2), t2, -BIG)
+                def f12(j):
+                    return jnp.broadcast_to(
+                        rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                        (LEAF_MAX, 128))
+                v0x, v0y, v0z = f12(0), f12(1), f12(2)
+                e1x, e1y, e1z = f12(3), f12(4), f12(5)
+                e2x, e2y, e2z = f12(6), f12(7), f12(8)
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                # determinant cutoff as isect.ray_triangle (kernels.h:134)
+                f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+                sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = f * (dx * qx + dy * qy + dz * qz)
+                tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                       & (vv >= 0.0) & (u + vv <= 1.0)
+                       & (tt > 0.0) & (tt < t_scan))
+                ttm = jnp.where(okm, tt, BIG)
+                leaf_t = jnp.min(ttm, axis=0, keepdims=True)       # [1,128]
+                gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
+                    rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
+                leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids,
+                                             jnp.int32(2 ** 30)),
+                                   axis=0, keepdims=True)
+                take = jnp.any(okm, axis=0, keepdims=True)
+                t_s[p:p + 1, :] = jnp.where(take, jnp.minimum(t, leaf_t), t)
+                gid_s[p:p + 1, :] = jnp.where(take & (leaf_t < t), leaf_gid,
+                                              best)
+                fnd_s[p:p + 1, :] = (found | take).astype(jnp.int32)
 
-            def f16(k):
-                return jnp.broadcast_to(
-                    rowI[PBOX0 + k * 16:PBOX0 + (k + 1) * 16], (ARITY, 128))
-            lox, loy, loz = f16(0), f16(1), f16(2)
-            hix, hiy, hiz = f16(3), f16(4), f16(5)
-            t0x = (lox - ox) * ivx; t1x = (hix - ox) * ivx
-            t0y = (loy - oy) * ivy; t1y = (hiy - oy) * ivy
-            t0z = (loz - oz) * ivz; t1z = (hiz - oz) * ivz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.maximum(t0z, t1z))
-            chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan2)
-            vis = jnp.bitwise_and(jnp.right_shift(
-                jnp.full((ARITY, 128), 1, jnp.int32) * curmask,
-                jnp.broadcast_to(iota16, (ARITY, 128))), 1)
-            chit = chit & (vis == 0)
-            tsel = jnp.where(chit, tmin, BIG)
-            pc_min = jnp.min(tsel, axis=1, keepdims=True)          # [16,1]
-            anyc = jnp.any(chit, axis=1, keepdims=True)
-            key = jnp.where(anyc, pc_min, BIG)
-            kmin = jnp.min(key, axis=0, keepdims=True)
-            iota_sel = jnp.where((key == kmin) & anyc, iota16, ARITY)
-            selc = jnp.min(iota_sel)                               # scalar
-            sel_onehot = iota_sel == jnp.broadcast_to(
-                jnp.full((1, 1), 1, jnp.int32) * selc, (ARITY, 1))
-            sel_onehot = sel_onehot & anyc
-            refs = jax.lax.bitcast_convert_type(
-                rowI[PREFS:PREFS + ARITY], jnp.int32)
-            selref = jnp.sum(jnp.where(sel_onehot, refs, 0))
-            selbit = jnp.sum(jnp.where(sel_onehot, bits16, 0))
-            nhits = jnp.sum(anyc.astype(jnp.int32))
+            # ---- inner branch: 16 slab tests (NaN boxes reject empties) ----
+            @pl.when(alive & ~is_leaf)
+            def _inner():
+                rowI = jnp.transpose(itab_ref[pl.ds(cur, 1), :])   # (128,1)
+                t = t_s[p:p + 1, :]
+                found = fnd_s[p:p + 1, :] != 0
+                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
+
+                def f16(k):
+                    return jnp.broadcast_to(
+                        rowI[PBOX0 + k * 16:PBOX0 + (k + 1) * 16],
+                        (ARITY, 128))
+                lox, loy, loz = f16(0), f16(1), f16(2)
+                hix, hiy, hiz = f16(3), f16(4), f16(5)
+                t0x = (lox - ox) * ivx; t1x = (hix - ox) * ivx
+                t0y = (loy - oy) * ivy; t1y = (hiy - oy) * ivy
+                t0z = (loz - oz) * ivz; t1z = (hiz - oz) * ivz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan)
+                vis = jnp.bitwise_and(jnp.right_shift(
+                    jnp.full((ARITY, 128), 1, jnp.int32) * curmask,
+                    jnp.broadcast_to(iota16, (ARITY, 128))), 1)
+                chit = chit & (vis == 0)
+                tsel = jnp.where(chit, tmin, BIG)
+                pc_min = jnp.min(tsel, axis=1, keepdims=True)      # [16,1]
+                anyc = jnp.any(chit, axis=1, keepdims=True)
+                key = jnp.where(anyc, pc_min, BIG)
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                iota_sel = jnp.where((key == kmin) & anyc, iota16, ARITY)
+                selc = jnp.min(iota_sel)                           # scalar
+                sel_onehot = (iota_sel == jnp.broadcast_to(
+                    jnp.full((1, 1), 1, jnp.int32) * selc, (ARITY, 1))) & anyc
+                refs = jax.lax.bitcast_convert_type(
+                    rowI[PREFS:PREFS + ARITY], jnp.int32)
+                dec[p, 0] = jnp.sum(jnp.where(sel_onehot, refs, 0))   # selref
+                dec[p, 1] = jnp.sum(jnp.where(sel_onehot, bits16, 0))  # selbit
+                dec[p, 2] = jnp.sum(anyc.astype(jnp.int32))            # nhits
 
             # ---- scalar traversal decision ----
+            selref, selbit, nhits = dec[p, 0], dec[p, 1], dec[p, 2]
             descend = alive & ~is_leaf & (nhits > 0)
             do_push = descend & (nhits > 1) & (sp < d)
             @pl.when(do_push)
@@ -262,71 +271,81 @@ def _kernel(npk: int, d: int, interpret: bool):
         def body(carry):
             curs, masks, sps = carry
             out = [step_packet(p, curs[p], masks[p], sps[p],
-                               t_s, gid_s, fnd_s) for p in range(npk)]
+                               t_s, gid_s, fnd_s, dec_s) for p in range(npk)]
             return (tuple(r[0] for r in out), tuple(r[1] for r in out),
                     tuple(r[2] for r in out))
 
         # a packet starts at the root iff any of its lanes participates
-        t0v = t0_ref[:]
-        t_s[:, :] = t0v
+        for p in range(npk):
+            b = p * RAY_ROWS
+            t_s[p:p + 1, :] = rays[b + 9:b + 10]
         gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
         fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
         starts = []
         for p in range(npk):
+            b = p * RAY_ROWS
             stk_n[p, 0] = 0
             stk_m[p, 0] = 0
-            any_live = jnp.sum((live[p:p + 1] != 0).astype(jnp.int32))
+            any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
+                               .astype(jnp.int32))
             starts.append(jnp.where(any_live > 0, jnp.int32(0), DONE))
         init = (tuple(starts),
                 tuple(jnp.int32(0) for _ in range(npk)),
                 tuple(jnp.int32(0) for _ in range(npk)))
         jax.lax.while_loop(cond, body, init)
-        t_out[:, :] = t_s[:, :]
-        gid_out[:, :] = gid_s[:, :]
-        hit_out[:, :] = fnd_s[:, :]
+        for p in range(npk):
+            t_out[4 * p + 0:4 * p + 1, :] = t_s[p:p + 1, :]
+            t_out[4 * p + 1:4 * p + 2, :] = jax.lax.bitcast_convert_type(
+                gid_s[p:p + 1, :], jnp.float32)
+            t_out[4 * p + 2:4 * p + 3, :] = fnd_s[p:p + 1, :].astype(
+                jnp.float32)
+            t_out[4 * p + 3:4 * p + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
     return kernel
 
 
 @partial(jax.jit, static_argnames=('depth', 'interpret'))
-def _run_packets(itab, ltab, o, dv, iv, t0, soh, live, *, depth: int,
-                 interpret: bool):
-    """o/dv/iv: f32[G*3*NPK, 128]; t0: f32[G*NPK, 128]; soh/live i32.
-    Returns (t, gid, hit) each [G*NPK, 128]."""
-    gn = t0.shape[0] // NPK
+def _run_packets(itab, ltab, rays, *, depth: int, interpret: bool):
+    """rays: f32[G*NPK*RAY_ROWS, 128] fused ray blocks (see RAY_ROWS layout).
+    Returns out f32[G*NPK*4, 128]: per packet rows (t, gid bitcast, found,
+    pad)."""
+    gn = rays.shape[0] // (NPK * RAY_ROWS)
     grid = (gn,)
     d = depth + 2
-    ray3 = pl.BlockSpec((3 * NPK, PACKET), lambda g: (g, 0),
-                        memory_space=pltpu.VMEM)
-    ray1f = pl.BlockSpec((NPK, PACKET), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM)
-    ray1i = pl.BlockSpec((NPK, PACKET), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM)
+    rayspec = pl.BlockSpec((NPK * RAY_ROWS, PACKET), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec((NPK * 4, PACKET), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shapes = (jax.ShapeDtypeStruct(t0.shape, jnp.float32),
-                  jax.ShapeDtypeStruct(t0.shape, jnp.int32),
-                  jax.ShapeDtypeStruct(t0.shape, jnp.int32))
+    out_shape = jax.ShapeDtypeStruct((gn * NPK * 4, PACKET), jnp.float32)
     return pl.pallas_call(
         _kernel(NPK, d, interpret),
         grid=grid,
-        out_shape=out_shapes,
-        in_specs=[tabspec, tabspec, ray3, ray3, ray3, ray1f, ray1i, ray1i],
-        out_specs=(ray1f, ray1i, ray1i),
+        out_shape=out_shape,
+        in_specs=[tabspec, tabspec, rayspec],
+        out_specs=outspec,
         scratch_shapes=[pltpu.SMEM((NPK, d + 1), jnp.int32),
                         pltpu.SMEM((NPK, d + 1), jnp.int32),
                         pltpu.VMEM((NPK, PACKET), jnp.float32),
                         pltpu.VMEM((NPK, PACKET), jnp.int32),
-                        pltpu.VMEM((NPK, PACKET), jnp.int32)],
+                        pltpu.VMEM((NPK, PACKET), jnp.int32),
+                        pltpu.SMEM((NPK, 4), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(itab, ltab, o, dv, iv, t0, soh, live)
+    )(itab, ltab, rays)
 
 
 def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
                     active=None, any_hit: bool = False, stop_on_hit=None,
-                    interpret: bool = False) -> Hit:
+                    order=None, interpret: bool = False) -> Hit:
     """Contract-compatible with traverse/traverse_wide (same Hit, same
-    sphere/plane prepass); triangles via the packet kernel."""
+    sphere/plane prepass); triangles via the packet kernel.
+
+    `order` (i32[B] permutation, optional): rays are traversed in this order
+    so the caller can group them into coherent 128-ray packets (morton +
+    octant sort for bounce wavefronts); results return in original order.
+    The permutation costs one 48-byte-row gather in and one scatter out —
+    cheap next to the traversal it accelerates."""
     B = ro.shape[0]
     if t_max is None:
         t_max = jnp.full((B,), T_MAX, jnp.float32)
@@ -338,31 +357,32 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
         stop_on_hit = jnp.full((B,), bool(any_hit))
     live = active & ~(stop_on_hit & found0)
 
+    inv = isect.safe_inv_dir(rd)
+    # ray-major field matrix [B, 12]:
+    # (ox oy oz dx dy dz ivx ivy ivz t0 live soh)
+    M = jnp.concatenate([
+        ro, rd, inv, t0[:, None],
+        live.astype(jnp.float32)[:, None],
+        stop_on_hit.astype(jnp.float32)[:, None]], axis=1)
+    if order is not None:
+        M = M[order]
+
     lanes_per_g = PACKET * NPK
     Bp = -(-B // lanes_per_g) * lanes_per_g
+    M = jnp.pad(M, ((0, Bp - B), (0, 0)))     # padded rays: live=0 -> inert
+    # block-pack: [G*NPK, 128 rays, 12 fields] -> [G*NPK, 12, 128]
+    rays = jnp.swapaxes(M.reshape(-1, PACKET, RAY_ROWS), -1, -2)
+    rays = rays.reshape(-1, PACKET)
 
-    def pad2(x, fill):
-        x = jnp.pad(x, ((0, Bp - B),) + ((0, 0),) * (x.ndim - 1),
-                    constant_values=fill)
-        return x
-
-    rop = pad2(ro, 0.0).reshape(-1, NPK, PACKET, 3)
-    rdp = pad2(rd, 1.0).reshape(-1, NPK, PACKET, 3)
-    inv = isect.safe_inv_dir(rdp)
-    # [G, NPK, 128, 3] -> [G*3*NPK, 128]
-    o3 = jnp.moveaxis(rop, -1, -2).reshape(-1, PACKET)
-    d3 = jnp.moveaxis(rdp, -1, -2).reshape(-1, PACKET)
-    i3 = jnp.moveaxis(inv, -1, -2).reshape(-1, PACKET)
-    t0p = pad2(t0, -1.0).reshape(-1, PACKET)
-    sohp = pad2(stop_on_hit, True).astype(jnp.int32).reshape(-1, PACKET)
-    livep = pad2(live, False).astype(jnp.int32).reshape(-1, PACKET)
-
-    tk, gidk, hitk = _run_packets(tables.inner, tables.leaf, o3, d3, i3,
-                                  t0p, sohp, livep, depth=tables.depth,
-                                  interpret=interpret)
-    tk = tk.reshape(-1)[:B]
-    gidk = gidk.reshape(-1)[:B]
-    hitk = hitk.reshape(-1)[:B] != 0
+    outk = _run_packets(tables.inner, tables.leaf, rays,
+                        depth=tables.depth, interpret=interpret)
+    outk = outk.reshape(-1, 4, PACKET)
+    O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]    # [B, 4] ray-major
+    if order is not None:
+        O = jnp.zeros_like(O).at[order].set(O[: order.shape[0]])
+    tk = O[:, 0]
+    gidk = jax.lax.bitcast_convert_type(O[:, 1], jnp.int32)
+    hitk = O[:, 2] != 0
 
     ptype = jnp.where(hitk, PRIM_TRIANGLE, ptype0)
     pid = jnp.where(hitk, gidk, pid0)

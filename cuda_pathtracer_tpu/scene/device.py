@@ -100,6 +100,12 @@ class DynamicArrays(NamedTuple):
     light_packed: jnp.ndarray    # f32[TL, 16]: v0|v1|v2|normal|emission
     inst_packed: jnp.ndarray     # f32[I, 16]: transform(12)|override(bitcast)
     tri_meta: jnp.ndarray        # i32[WT, 2]: gid|inst
+    # split packet tables (ops/traverse_packet.py) derived from wide_rows —
+    # the Pallas VMEM-resident traversal path; [0, 128] disables it
+    packet_inner: jnp.ndarray    # f32[NI, 128]
+    packet_leaf: jnp.ndarray     # f32[NL, 128]
+    # world bounds for morton ray-sort keys, f32[2, 3] (min | extent)
+    bounds: jnp.ndarray
 
 
 def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):

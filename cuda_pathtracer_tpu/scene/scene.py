@@ -553,9 +553,11 @@ class Scene:
         else:
             lv0 = lv1 = lv2 = lnrm = lemis = np.zeros((0, 3), np.float32)
 
-        # fat-row wide world BVH (TPU fast path)
+        # fat-row wide world BVH (TPU fast path) + split packet tables (the
+        # Pallas VMEM-resident traversal, ops/traverse_packet.py)
         if self.objects and all(m.wide is not None for m in self.models):
             from ..accel.wide import build_world_wide
+            from ..ops.traverse_packet import split_packet_tables
             ww = build_world_wide(
                 [m.wide for m in self.models],
                 np.array([o.model_id for o in self.objects], np.int32),
@@ -563,9 +565,16 @@ class Scene:
                 [int(b) for b in wb.wtri_base])
             wide_rows = jnp.asarray(ww.rows)
             self.wide_depth = ww.depth
+            ptab = split_packet_tables(ww.rows, ww.depth)
+            packet_inner, packet_leaf = ptab.inner, ptab.leaf
+            bounds = np.stack([wb.vmin[0], np.maximum(wb.vmax[0] - wb.vmin[0],
+                                                      1e-6)])
         else:
             wide_rows = jnp.zeros((0, 128), jnp.float32)
             self.wide_depth = 0
+            packet_inner = jnp.zeros((0, 128), jnp.float32)
+            packet_leaf = jnp.zeros((0, 128), jnp.float32)
+            bounds = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
 
         # packed single-gather rows
         tl = len(lv0)
@@ -597,6 +606,8 @@ class Scene:
                             wide_rows,
                             jnp.asarray(light_packed),
                             jnp.asarray(inst_packed),
-                            jnp.asarray(tri_meta))
+                            jnp.asarray(tri_meta),
+                            packet_inner, packet_leaf,
+                            jnp.asarray(bounds, jnp.float32))
         self._dyn_cache = (self._version, dyn)
         return dyn

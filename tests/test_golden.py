@@ -26,7 +26,7 @@ def test_matches_golden(reference_assets):
     while pt.sample_idx < int(z['spp']):
         pt.render(cam(), should_clear=False)
     pt.finish()
-    got = np.asarray(pt.lum)
+    got = np.asarray(pt.accumulators_pixel_order()[0])
     want = z['lum']
     assert got.shape == want.shape
     # sample counts must agree exactly

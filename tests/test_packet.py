@@ -109,3 +109,36 @@ def test_split_tables_structure(teapot_scene):
     leaf_refs = refs[(~empty) & (refs < 0)]
     assert (inner_refs < n_inner).all()
     assert ((~leaf_refs) < n_leaf).all()
+
+
+def test_engine_renders_via_packet_path(reference_assets, monkeypatch):
+    """Full render_sample with the packet kernel forced on (interpret mode):
+    the engine's tile-ordered, morton-sorted dispatch must produce the same
+    image as the XLA wide path."""
+    from cuda_pathtracer_tpu.ops import dispatch
+    from cuda_pathtracer_tpu.models.pathtracer import Pathtracer
+    from cuda_pathtracer_tpu.scene.builder import get_scene
+    from cuda_pathtracer_tpu.core.camera import Camera
+
+    scene = get_scene('outside', asset_dirs=[reference_assets])
+    cam = Camera.create([0, 4, -10], [0, -0.2, 1], 1.5, 8, 0.0)
+    W, H = 32, 24
+
+    pt = Pathtracer(scene, W, H)
+    pt.render(cam, should_clear=True)
+    pt.render(cam, should_clear=False)
+    pt.finish()
+    want = np.asarray(pt.accumulators_pixel_order()[0])
+
+    monkeypatch.setattr(dispatch, 'PACKET_MODE', 'on')
+    pt2 = Pathtracer(scene, W, H)
+    pt2.render(cam, should_clear=True)
+    pt2.render(cam, should_clear=False)
+    pt2.finish()
+    got = np.asarray(pt2.accumulators_pixel_order()[0])
+
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[:, 3], want[:, 3])
+    # interpret-mode kernel is float-exact vs the XLA path on CPU
+    assert np.allclose(got[:, :3], want[:, :3], rtol=1e-4, atol=1e-4), \
+        float(np.abs(got[:, :3] - want[:, :3]).max())

@@ -48,8 +48,8 @@ def test_sharded_matches_single_chip(reference_assets):
     for _ in range(2):
         sharded.render(cam(), should_clear=False)
 
-    a = np.asarray(single.lum)
-    b = np.asarray(sharded.lum)
+    a = np.asarray(single.accumulators_pixel_order()[0])
+    b = np.asarray(sharded.lum)   # the sharded engine keeps pixel order
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     # the guiding cache is all-reduced and must agree too
     np.testing.assert_allclose(np.asarray(single.radiance.cache),
