@@ -56,12 +56,17 @@ class _BounceCarry(NamedTuple):
     rays_traced: jnp.ndarray  # i64-ish f32 counter: extend + connect rays
 
 
-def _sort_order(ro, rd, bounds):
+def _sort_order(ro, rd, bounds, alive=None, direction_major=False):
     """Coherence sort key for packet traversal: 27-bit morton code of the ray
     origin (9 bits/axis against the world bounds) with the 3-bit direction
     octant as the minor key. Groups bounce-wavefront rays into packets that
     share BVH subtrees (the TPU replacement for the reference's abandoned
-    CUDA ray sorting, src/raySorting.h — cheap here, and packets NEED it)."""
+    CUDA ray sorting, src/raySorting.h — cheap here, and packets NEED it).
+
+    Dead lanes sort LAST: they compact into packets of nothing but corpses,
+    which the kernel retires in one step — so a lockstep bounce costs
+    proportionally to its LIVE rays, the moral equivalent of the reference's
+    shrinking wavefront queues (AtomicQueue swap, src/kernels.h:841-846)."""
     q = jnp.clip((ro - bounds[0]) / bounds[1], 0.0, 1.0)
     q = (q * 511.0).astype(jnp.int32)
 
@@ -74,10 +79,32 @@ def _sort_order(ro, rd, bounds):
 
     morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
               | (spread(q[:, 2]) << 2))
-    octant = ((rd[:, 0] > 0).astype(jnp.int32)
-              | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
-              | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
-    return jnp.argsort((morton << 3) | octant)
+    if direction_major:
+        # 7-bit cube-map direction (face + 2x2 bits of u,v) MAJOR, morton
+        # minor: diffuse-bounce divergence is directional (origins are
+        # already tile-coherent), so packets want tight direction cones first
+        ax, ay, az = (jnp.abs(rd[:, 0]), jnp.abs(rd[:, 1]),
+                      jnp.abs(rd[:, 2]))
+        face = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                         jnp.where(ay >= az, 1, 2))
+        m = jnp.maximum(jnp.maximum(ax, ay), az) + 1e-20
+        neg = jnp.take_along_axis(rd, face[:, None], axis=1)[:, 0] < 0
+        u = jnp.take_along_axis(rd, ((face + 1) % 3)[:, None],
+                                axis=1)[:, 0] / m
+        v = jnp.take_along_axis(rd, ((face + 2) % 3)[:, None],
+                                axis=1)[:, 0] / m
+        qu = jnp.clip(((u + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        qv = jnp.clip(((v + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        dir7 = (((face << 1) | neg.astype(jnp.int32)) << 4) | (qu << 2) | qv
+        key = (dir7 << 24) | (morton >> 3)
+    else:
+        octant = ((rd[:, 0] > 0).astype(jnp.int32)
+                  | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+                  | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
+        key = (morton << 3) | octant
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(2 ** 31 - 1))
+    return jnp.argsort(key)
 
 
 def _tile_coords(lanes, width: int):
@@ -173,7 +200,9 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         # coherent packets; the sort is gated on bounce>0 only through the
         # data (primaries are already tile-coherent, and argsort on a
         # constant key is the identity).
-        order = _sort_order(c.ro, c.rd, dyn.bounds) if do_sort else None
+        order = (_sort_order(c.ro, c.rd, dyn.bounds, c.alive,
+                             direction_major=True)
+                 if do_sort else None)
         hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
                     wide_depth=wide_depth, order=order)
 
@@ -186,7 +215,11 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         # src/kernels.h:799-810). Origins are this bounce's hit points:
         # sorted by the same morton+octant key toward the light.
         if nee:
-            sorder = (_sort_order(out.shadow_o, out.shadow_d, dyn.bounds)
+            # shadow rays start ON the light (inverted, kernels.h:746-750),
+            # so origin-morton degenerates — key on the DESTINATION surface
+            sdest = out.shadow_o + out.shadow_d * out.shadow_tmax[:, None]
+            sorder = (_sort_order(sdest, out.shadow_d, dyn.bounds,
+                                  out.shadow_active)
                       if do_sort else None)
             sh = trace(scene, dyn, out.shadow_o, out.shadow_d,
                        t_max=out.shadow_tmax, active=out.shadow_active,

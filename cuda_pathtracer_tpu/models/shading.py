@@ -25,6 +25,7 @@ from .guiding import SAMPLE_IGNORE, SAMPLE_TERMINATE, SAMPLE_BUCKET, RadianceSta
 from ..core import rng as _rng
 from ..core import vecmath as vm
 from ..ops import intersect as isect
+from ..ops.lookup import table_lookup
 from ..ops.traverse import Hit, PRIM_TRIANGLE, PRIM_SPHERE, PRIM_PLANE
 from ..constants import EPS, PI
 
@@ -142,8 +143,17 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
     pos = ro + f3(hit.t) * rd
 
-    trip = scene.tri_packed[gid]                          # [B, 16]
-    instp = dyn.inst_packed[inst]                         # [B, 16]
+    # one fused gather serves triangle attributes AND the guiding cache row
+    # (both keyed by gid): a second big-table gather costs a full dispatch
+    if cache_on:
+        tri_guide = jnp.concatenate([scene.tri_packed, radiance.cache],
+                                    axis=1)               # [T, 24]
+        row = tri_guide[gid]
+        trip, rc_row = row[..., :16], row[..., 16:24]
+    else:
+        trip = scene.tri_packed[gid]                      # [B, 16]
+        rc_row = None
+    instp = table_lookup(dyn.inst_packed, inst)           # [B, 16]
     inst_tf = instp[..., 0:12].reshape(*instp.shape[:-1], 3, 4)
     override = jax.lax.bitcast_convert_type(instp[..., 12], jnp.int32)
 
@@ -154,18 +164,18 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     mid = jnp.where(override >= 0, override, tri_mid)
     sphp = plap = None
     if n_sph:
-        sphp = scene.sphere_packed[jnp.clip(pid, 0, n_sph - 1)]
+        sphp = table_lookup(scene.sphere_packed, jnp.clip(pid, 0, n_sph - 1))
         mid = jnp.where(is_sphere,
                         jax.lax.bitcast_convert_type(sphp[..., 4], jnp.int32),
                         mid)
     if n_pla:
-        plap = scene.plane_packed[jnp.clip(pid, 0, n_pla - 1)]
+        plap = table_lookup(scene.plane_packed, jnp.clip(pid, 0, n_pla - 1))
         mid = jnp.where(is_plane,
                         jax.lax.bitcast_convert_type(plap[..., 4], jnp.int32),
                         mid)
     mid = jnp.clip(mid, 0, scene.mat_packed.shape[0] - 1)
 
-    matp = scene.mat_packed[mid]                          # [B, 24]
+    matp = table_lookup(scene.mat_packed, mid)            # [B, 24]
     diffuse = matp[..., 0:3]
     emission = matp[..., 6:9]
     reflect_p = matp[..., 9]
@@ -293,7 +303,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
             rl, rand_state = sampling.masked_rand(rand_state, take_diffuse)
             pick = jnp.mod((rl * n_lights).astype(jnp.uint32),
                            jnp.uint32(n_lights)).astype(jnp.int32)
-            lp = dyn.light_packed[pick]                  # one gather per pick
+            lp = table_lookup(dyn.light_packed, pick)
             centroid = (lp[..., 0:3] + lp[..., 3:6] + lp[..., 6:9]) / 3.0
             lnorm = lp[..., 9:12]
             from_light = vm.normalize(pos - centroid, eps=1e-12)
@@ -308,7 +318,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         lu = jnp.where(fold, 1.0 - lu, lu)
         lv = jnp.where(fold, 1.0 - lv, lv)
 
-        lps = dyn.light_packed[success]
+        lps = table_lookup(dyn.light_packed, success)
         lv0 = lps[..., 0:3]
         v0v1 = lps[..., 3:6] - lv0
         v0v2 = lps[..., 6:9] - lv0
@@ -342,7 +352,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # hemisphere sample: guided or cosine (kernels.h:755-770)
     guided = take_diffuse & jnp.asarray(cache_on) & is_tri \
         & (vm.dot(collider_normal, original_normal) > 0.0)
-    rc = radiance.cache[gid]
+    rc = rc_row if rc_row is not None else radiance.cache[gid]
     # radianceTotal is identically sum(cache) under our update rule — derive
     # it instead of a second gather (kernels.h:899 maintains it incrementally)
     rt = jnp.sum(rc, axis=-1)

@@ -379,7 +379,9 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]    # [B, 4] ray-major
     if order is not None:
-        O = jnp.zeros_like(O).at[order].set(O[: order.shape[0]])
+        # un-permute with an inverse-order GATHER (argsort + row gather);
+        # a scatter costs ~5x more than a gather on TPU
+        O = O[jnp.argsort(order)]
     tk = O[:, 0]
     gidk = jax.lax.bitcast_convert_type(O[:, 1], jnp.int32)
     hitk = O[:, 2] != 0

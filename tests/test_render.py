@@ -158,3 +158,24 @@ def test_display_transform_gamma_vignette():
     v = (0 + 0.5) / H2 - 0.5
     np.testing.assert_allclose(img[0, 0, 0], 0.5 * (1 - (u * u + v * v)),
                                rtol=1e-5)
+
+
+def test_table_lookup_exact():
+    """Small-table lookup must be bit-exact vs gather (ops/lookup.py) —
+    INCLUDING int32 ids bitcast into f32 lanes, which are denormals that any
+    arithmetic lookup (one-hot matmul) would flush to zero on TPU."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cuda_pathtracer_tpu.ops.lookup import table_lookup
+    rng = np.random.default_rng(3)
+    tab = rng.standard_normal((13, 24)).astype(np.float32) * 1e3
+    tab[:, 20:24] = rng.integers(0, 99, (13, 4)).astype(np.int32).view(np.float32)
+    tabj = jnp.asarray(tab)
+    idx = jnp.asarray(rng.integers(0, 13, size=1000).astype(np.int32))
+    got = np.asarray(table_lookup(tabj, idx))
+    want = tab[np.asarray(idx)]
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+    # clamp semantics match gather
+    got2 = np.asarray(table_lookup(tabj, jnp.asarray([25, 12], jnp.int32)))
+    np.testing.assert_array_equal(got2[0].view(np.int32),
+                                  tab[12].view(np.int32))
