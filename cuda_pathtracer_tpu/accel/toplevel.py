@@ -40,6 +40,11 @@ class WorldBVH(NamedTuple):
     tri_gid: np.ndarray     # i32[WT] global (model-space) triangle id -> attributes
     tri_inst: np.ndarray    # i32[WT] owning instance
     wtri_base: np.ndarray   # i64[I] first world-triangle index of instance i
+    # refit metadata (accel/refit.py): owning instance per node (-1 = top
+    # pairing node) and the node's MODEL-space box
+    node_inst: np.ndarray   # i32[N]
+    mvmin: np.ndarray       # f32[N, 3]
+    mvmax: np.ndarray       # f32[N, 3]
 
 
 def _merged_area(amin, amax, bmin, bmax):
@@ -143,6 +148,9 @@ def build_world_bvh(model_bvhs: list[ThreadedBVH],
     miss = np.empty(total_nodes, np.int32)
     leaf_start = np.zeros(total_nodes, np.int32)
     leaf_count = np.zeros(total_nodes, np.int32)
+    node_inst = np.full(total_nodes, -1, np.int32)
+    mvmin = np.zeros((total_nodes, 3), np.float32)
+    mvmax = np.zeros((total_nodes, 3), np.float32)
 
     # world triangle layout: instances in tree-leaf visit order
     wtri_base = np.zeros(n_inst, np.int64)
@@ -163,6 +171,9 @@ def build_world_bvh(model_bvhs: list[ThreadedBVH],
             mn, mx = _transform_boxes(mb.vmin, mb.vmax, inst_transform[inst])
             vmin[pos:pos + mcount] = mn
             vmax[pos:pos + mcount] = mx
+            node_inst[pos:pos + mcount] = inst
+            mvmin[pos:pos + mcount] = mb.vmin
+            mvmax[pos:pos + mcount] = mb.vmax
             miss[pos:pos + mcount] = np.where(mb.miss < 0, cont, mb.miss + pos)
             leaf_start[pos:pos + mcount] = mb.leaf_start + wt
             leaf_count[pos:pos + mcount] = mb.leaf_count
@@ -203,7 +214,7 @@ def build_world_bvh(model_bvhs: list[ThreadedBVH],
     return WorldBVH(vmin, vmax, miss, leaf_start, leaf_count,
                     w0, w1, w2,
                     np.concatenate(segs_gid), np.concatenate(segs_inst),
-                    wtri_base)
+                    wtri_base, node_inst, mvmin, mvmax)
 
 
 def _transform_boxes(vmin: np.ndarray, vmax: np.ndarray, m34: np.ndarray):

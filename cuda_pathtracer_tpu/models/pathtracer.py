@@ -38,8 +38,9 @@ from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH, T_MAX
 # tail-narrowing configuration (see render_sample): after TAIL_START bounces
 # survivors are compacted into a B/TAIL_DIV buffer; disabled under
 # TAIL_MIN_LANES where the narrow width can't amortize the fixed step cost
-TAIL_START = 3
-TAIL_DIV = 8
+import os as _os
+TAIL_START = int(_os.environ.get('CPT_TAIL_START', '3'))
+TAIL_DIV = int(_os.environ.get('CPT_TAIL_DIV', '8'))
 TAIL_MIN_LANES = 131072
 
 

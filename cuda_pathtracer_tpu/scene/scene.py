@@ -122,6 +122,9 @@ class Scene:
         self._tri_mat = np.zeros((0,), np.int32)
         self._version = 0          # bumped whenever dynamic state changes
         self._dyn_cache = None     # (version, DynamicArrays)
+        self._refit_templates = None   # accel/refit.py model-space tables
+        self._refit_key = None
+        self._full_dyn = None
 
     # -- scriptable API (the chai-registered surface, sceneBuilder.h:283-301) --
 
@@ -510,12 +513,28 @@ class Scene:
             plane_packed=jnp.asarray(plane_packed),
         )
 
+    def _structure_key(self):
+        """Scene topology fingerprint: while unchanged, invalidations can use
+        the device-side refit instead of a full host rebuild."""
+        return (len(self.models),
+                tuple(o.model_id for o in self.objects),
+                tuple(int(o.material_id) for o in self.objects))
+
     def dynamic_arrays(self) -> DynamicArrays:
         """Instances + merged world BVH, cached until invalidation
         (the TPU analogue of the instance/top-BVH refresh at
-        src/pathtracer.h:245-246)."""
+        src/pathtracer.h:245-246). After the first full build, invalidations
+        that only MOVE things (animation handlers, attached-object motion)
+        take the device refit path: host work is the instance matrices plus
+        the few top rows (accel/refit.py), mirroring the reference's
+        cheap per-frame update (src/pathtracer.h:245-246, scene.h:400)."""
         if self._dyn_cache is not None and self._dyn_cache[0] == self._version:
             return self._dyn_cache[1]
+        if (self._refit_templates is not None
+                and self._refit_key == self._structure_key()):
+            dyn = self._refit_dynamic_arrays()
+            self._dyn_cache = (self._version, dyn)
+            return dyn
         transforms, inverses, overrides = self.instances()
         if self.objects:
             wb = build_world_bvh(
@@ -533,35 +552,19 @@ class Scene:
                 tris=jnp.zeros((0, 9), jnp.float32),
                 tri_gid=jnp.zeros((0,), jnp.int32),
                 tri_inst=jnp.zeros((0,), jnp.int32))
-        # world-space emissive light triangles (the DTriangleLights of
-        # pathtracer.h:154-170, pre-transformed so shading never gathers
-        # instance matrices for NEE)
-        light_tri, light_inst = self.extract_triangle_lights(overrides)
-        if len(light_tri):
-            lt = transforms[light_inst]                     # [TL, 3, 4]
-            rot = lt[:, :, :3]
-            trn = lt[:, :, 3]
-            lv0 = np.einsum('lij,lj->li', rot, self._v0[light_tri]) + trn
-            lv1 = np.einsum('lij,lj->li', rot, self._v1[light_tri]) + trn
-            lv2 = np.einsum('lij,lj->li', rot, self._v2[light_tri]) + trn
-            lnrm = np.einsum('lij,lj->li', rot, self._normal[light_tri])
-            lnrm /= np.maximum(np.linalg.norm(lnrm, axis=1, keepdims=True), 1e-30)
-            lmat = np.where(overrides[light_inst] >= 0, overrides[light_inst],
-                            self._tri_mat[light_tri])
-            emis = np.array([m.emission for m in self.materials], np.float32)
-            lemis = emis[lmat]
-        else:
-            lv0 = lv1 = lv2 = lnrm = lemis = np.zeros((0, 3), np.float32)
+        lv0, lv1, lv2, lnrm, lemis, light_packed = \
+            self._light_arrays(transforms, overrides)
 
         # fat-row wide world BVH (TPU fast path) + split packet tables (the
         # Pallas VMEM-resident traversal, ops/traverse_packet.py)
         if self.objects and all(m.wide is not None for m in self.models):
             from ..accel.wide import build_world_wide
             from ..ops.traverse_packet import split_packet_tables
+            from ..accel import refit as _refit
+            inst_model = np.array([o.model_id for o in self.objects],
+                                  np.int32)
             ww = build_world_wide(
-                [m.wide for m in self.models],
-                np.array([o.model_id for o in self.objects], np.int32),
-                transforms,
+                [m.wide for m in self.models], inst_model, transforms,
                 [int(b) for b in wb.wtri_base])
             wide_rows = jnp.asarray(ww.rows)
             self.wide_depth = ww.depth
@@ -569,27 +572,23 @@ class Scene:
             packet_inner, packet_leaf = ptab.inner, ptab.leaf
             bounds = np.stack([wb.vmin[0], np.maximum(wb.vmax[0] - wb.vmin[0],
                                                       1e-6)])
+            # capture the model-space templates so later move-only
+            # invalidations refit on DEVICE (accel/refit.py)
+            self._refit_templates = _refit.build_templates(
+                [m.wide for m in self.models], inst_model,
+                [int(b) for b in wb.wtri_base], wb,
+                self._v0, self._v1, self._v2, ww.depth)
+            self._refit_key = self._structure_key()
         else:
             wide_rows = jnp.zeros((0, 128), jnp.float32)
             self.wide_depth = 0
             packet_inner = jnp.zeros((0, 128), jnp.float32)
             packet_leaf = jnp.zeros((0, 128), jnp.float32)
             bounds = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+            self._refit_templates = None
+            self._refit_key = None
 
-        # packed single-gather rows
-        tl = len(lv0)
-        light_packed = np.zeros((tl, 16), np.float32)
-        if tl:
-            light_packed[:, 0:3] = lv0
-            light_packed[:, 3:6] = lv1
-            light_packed[:, 6:9] = lv2
-            light_packed[:, 9:12] = lnrm
-            light_packed[:, 12:15] = lemis
-        n_inst = len(self.objects)
-        inst_packed = np.zeros((n_inst, 16), np.float32)
-        if n_inst:
-            inst_packed[:, 0:12] = transforms.reshape(n_inst, 12)
-            inst_packed[:, 12] = np.asarray(overrides, np.int32).view(np.float32)
+        inst_packed = self._inst_packed(transforms, overrides)
         if self.objects:
             tri_meta = np.stack([wb.tri_gid, wb.tri_inst], axis=1)
         else:
@@ -610,4 +609,79 @@ class Scene:
                             packet_inner, packet_leaf,
                             jnp.asarray(bounds, jnp.float32))
         self._dyn_cache = (self._version, dyn)
+        self._full_dyn = dyn
         return dyn
+
+    def _light_arrays(self, transforms, overrides):
+        """World-space emissive light triangles (the DTriangleLights of
+        pathtracer.h:154-170, pre-transformed so shading never gathers
+        instance matrices for NEE). Host work is O(light triangles) — tiny."""
+        light_tri, light_inst = self.extract_triangle_lights(overrides)
+        if len(light_tri):
+            lt = transforms[light_inst]                     # [TL, 3, 4]
+            rot = lt[:, :, :3]
+            trn = lt[:, :, 3]
+            lv0 = np.einsum('lij,lj->li', rot, self._v0[light_tri]) + trn
+            lv1 = np.einsum('lij,lj->li', rot, self._v1[light_tri]) + trn
+            lv2 = np.einsum('lij,lj->li', rot, self._v2[light_tri]) + trn
+            lnrm = np.einsum('lij,lj->li', rot, self._normal[light_tri])
+            lnrm /= np.maximum(np.linalg.norm(lnrm, axis=1, keepdims=True),
+                               1e-30)
+            lmat = np.where(overrides[light_inst] >= 0, overrides[light_inst],
+                            self._tri_mat[light_tri])
+            emis = np.array([m.emission for m in self.materials], np.float32)
+            lemis = emis[lmat]
+        else:
+            lv0 = lv1 = lv2 = lnrm = lemis = np.zeros((0, 3), np.float32)
+        tl = len(lv0)
+        light_packed = np.zeros((tl, 16), np.float32)
+        if tl:
+            light_packed[:, 0:3] = lv0
+            light_packed[:, 3:6] = lv1
+            light_packed[:, 6:9] = lv2
+            light_packed[:, 9:12] = lnrm
+            light_packed[:, 12:15] = lemis
+        return lv0, lv1, lv2, lnrm, lemis, light_packed
+
+    def _inst_packed(self, transforms, overrides):
+        n_inst = len(self.objects)
+        inst_packed = np.zeros((n_inst, 16), np.float32)
+        if n_inst:
+            inst_packed[:, 0:12] = transforms.reshape(n_inst, 12)
+            inst_packed[:, 12] = np.asarray(overrides,
+                                            np.int32).view(np.float32)
+        return inst_packed
+
+    def _refit_dynamic_arrays(self) -> DynamicArrays:
+        """Move-only invalidation: instance matrices + top rows on the host,
+        everything else transformed on device (accel/refit.py)."""
+        from ..accel import refit as _refit
+        from ..core import transforms as _tf
+        transforms, inverses, overrides = self.instances()
+        inst_boxes = np.empty((len(self.objects), 6), np.float32)
+        for i, o in enumerate(self.objects):
+            mb = self.models[o.model_id].bvh
+            mn, mx = _tf.transform_box(mb.vmin[0], mb.vmax[0], transforms[i])
+            inst_boxes[i, 0:3] = mn
+            inst_boxes[i, 3:6] = mx
+        inner, leaf, wide, node_box, wtris, bounds = _refit.refit_all(
+            self._refit_templates, transforms, inst_boxes)
+        lv0, lv1, lv2, lnrm, lemis, light_packed = \
+            self._light_arrays(transforms, overrides)
+        base = self._full_dyn
+        world = base.world._replace(node_box=node_box, tris=wtris)
+        return base._replace(
+            world=world,
+            inst_transform=jnp.asarray(transforms),
+            inst_inv=jnp.asarray(inverses),
+            inst_mat=jnp.asarray(overrides),
+            light_v0w=jnp.asarray(lv0, jnp.float32),
+            light_v1w=jnp.asarray(lv1, jnp.float32),
+            light_v2w=jnp.asarray(lv2, jnp.float32),
+            light_normal_w=jnp.asarray(lnrm, jnp.float32),
+            light_emission_w=jnp.asarray(lemis, jnp.float32),
+            wide_rows=wide,
+            light_packed=jnp.asarray(light_packed),
+            inst_packed=jnp.asarray(self._inst_packed(transforms, overrides)),
+            packet_inner=inner, packet_leaf=leaf,
+            bounds=jnp.asarray(bounds, jnp.float32))
