@@ -69,6 +69,63 @@ def main():
           f'({width}x{height}); energy={total:.1f} nan={has_nan} neg={has_neg}; '
           f'platform={jax.devices()[0].platform}', file=sys.stderr)
 
+    # ---- interactive-rate figure (the reference headline: 130 fps at
+    # 640x480 with 1 diffuse + 1 shadow ray, README.md:202) ----
+    import jax.numpy as jnp
+    from cuda_pathtracer_tpu.models.pathtracer import render_sample
+    from cuda_pathtracer_tpu.models import film
+    from cuda_pathtracer_tpu.models.guiding import init_radiance_state
+    iw, ih = 640, 480
+    arrays, dyn = pt.arrays, pt.dyn
+    radiance = init_radiance_state(int(arrays.tri_mat.shape[0]))
+    lum, alb = film.clear_accumulators(iw * ih)
+    wd = -(-scene.wide_depth // 4) * 4
+
+    def frame(i):
+        return render_sample(arrays, dyn, camera, radiance, lum, alb,
+                             jnp.uint32(0), jnp.uint32(i), jnp.asarray(False),
+                             nee=True, cache_on=True, max_bounces=2,
+                             width=iw, height=ih, wide_depth=wd,
+                             tile_order=True)
+
+    out = frame(0)
+    out[0].block_until_ready()
+    frames = 30
+    t0 = time.perf_counter()
+    last = None
+    for i in range(frames):
+        last = frame(i + 1)
+    last[0].block_until_ready()
+    fdt = time.perf_counter() - t0
+    fps = frames / fdt
+    irays = float(last[4]) * frames
+    print(f'# interactive sibenik {iw}x{ih} (1 spp, depth 2, NEE): '
+          f'{fps:.1f} fps, {irays/fdt/1e6:.1f} Mrays/s '
+          f'(reference: 130 fps on a GTX 960M)', file=sys.stderr)
+
+    # ---- blur-filter share of frame time (reference: <=2%, README.md:173) --
+    img_f = jax.jit(lambda l, a: film.display(l, a, 8.0, width, height,
+                                              blur=False))
+    img_b = jax.jit(lambda l, a: film.display(l, a, 8.0, width, height,
+                                              blur=True))
+    la, aa = pt.accumulators_pixel_order()
+    img_f(la, aa).block_until_ready()
+    img_b(la, aa).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        r = img_f(la, aa)
+    r.block_until_ready()
+    t_plain = (time.perf_counter() - t0) / 10
+    t0 = time.perf_counter()
+    for _ in range(10):
+        r = img_b(la, aa)
+    r.block_until_ready()
+    t_blur = (time.perf_counter() - t0) / 10
+    frame_t = 1.0 / max(fps, 1e-9)
+    print(f'# blur filter: {1e3*(t_blur-t_plain):.2f} ms/frame = '
+          f'{100*(t_blur-t_plain)/frame_t:.1f}% of an interactive frame '
+          f'(reference: <=2%)', file=sys.stderr)
+
 
 if __name__ == '__main__':
     main()
