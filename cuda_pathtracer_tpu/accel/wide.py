@@ -125,17 +125,22 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
         if tri_count(idx) <= LEAF_MAX:
             return emit_leaf(_collect_leaf_ranges(nodes, idx))
 
-        # collapse: expand the slot with the most triangles until ARITY slots
-        # or all slots are small enough to inline
+        # collapse: repeatedly expand the slot whose box has the largest
+        # SURFACE AREA among those too big to inline (SAH-style: big boxes
+        # are entered most often, so splitting them prunes the most) until
+        # ARITY slots or every slot is small enough to become a leaf
+        def _area(s):
+            d = nodes.vmax[s] - nodes.vmin[s]
+            return float(2.0 * (d[0] * d[1] + d[0] * d[2] + d[1] * d[2]))
+
         slots = [idx]
         while len(slots) < ARITY:
-            # pick the largest expandable inner slot
-            best, best_n = -1, LEAF_MAX
+            best, best_a = -1, -1.0
             for s_i, s in enumerate(slots):
-                if nodes.leaf_count[s] == 0:
-                    n = tri_count(s)
-                    if n > best_n:
-                        best, best_n = s_i, n
+                if nodes.leaf_count[s] == 0 and tri_count(s) > LEAF_MAX:
+                    a = _area(s)
+                    if a > best_a:
+                        best, best_a = s_i, a
             if best < 0:
                 break
             s = slots.pop(best)

@@ -41,6 +41,8 @@ from ..constants import MAX_RAY_DEPTH, MAX_CACHE_DEPTH, T_MAX
 import os as _os
 TAIL_START = int(_os.environ.get('CPT_TAIL_START', '3'))
 TAIL_DIV = int(_os.environ.get('CPT_TAIL_DIV', '8'))
+TAIL2_START = int(_os.environ.get('CPT_TAIL2_START', '8'))
+TAIL2_DIV = int(_os.environ.get('CPT_TAIL2_DIV', '32'))
 TAIL_MIN_LANES = 131072
 
 
@@ -81,9 +83,12 @@ def _sort_order(ro, rd, bounds, alive=None, direction_major=False):
     morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
               | (spread(q[:, 2]) << 2))
     if direction_major:
-        # 7-bit cube-map direction (face + 2x2 bits of u,v) MAJOR, morton
-        # minor: diffuse-bounce divergence is directional (origins are
-        # already tile-coherent), so packets want tight direction cones first
+        # bounce-wavefront key: COARSE origin morton (5 bits/axis) major,
+        # FINE cube-map direction (face + 5x5 bits of u,v) minor. The sweep
+        # in tools/sortkey_sweep.py: this ordering gives the smallest packet
+        # unions (114 steps/packet vs 166 for fine-morton/coarse-dir and 357
+        # unsorted on sibenik bounce-1 wavefronts) — group by neighborhood
+        # first, then by tight direction cone within it.
         ax, ay, az = (jnp.abs(rd[:, 0]), jnp.abs(rd[:, 1]),
                       jnp.abs(rd[:, 2]))
         face = jnp.where(ax >= jnp.maximum(ay, az), 0,
@@ -94,10 +99,12 @@ def _sort_order(ro, rd, bounds, alive=None, direction_major=False):
                                 axis=1)[:, 0] / m
         v = jnp.take_along_axis(rd, ((face + 2) % 3)[:, None],
                                 axis=1)[:, 0] / m
-        qu = jnp.clip(((u + 1.0) * 2.0).astype(jnp.int32), 0, 3)
-        qv = jnp.clip(((v + 1.0) * 2.0).astype(jnp.int32), 0, 3)
-        dir7 = (((face << 1) | neg.astype(jnp.int32)) << 4) | (qu << 2) | qv
-        key = (dir7 << 24) | (morton >> 3)
+        qu = jnp.clip(((u + 1.0) * 15.5).astype(jnp.int32), 0, 31)
+        qv = jnp.clip(((v + 1.0) * 15.5).astype(jnp.int32), 0, 31)
+        dir13 = ((((face << 1) | neg.astype(jnp.int32)) << 10)
+                 | (qu << 5) | qv)
+        morton15 = ((morton >> 12) & 0x7FFF)     # top 5 bits per axis
+        key = (morton15 << 13) | dir13
     else:
         octant = ((rd[:, 0] > 0).astype(jnp.int32)
                   | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
@@ -275,67 +282,85 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     final = jax.lax.while_loop(main_cond, body, carry)
 
     if use_tail:
-        C = B // TAIL_DIV
+        # narrowing LEVELS: (start_bounce, end_bounce, buffer_width). Each
+        # level compacts the still-pending lanes into an ever-narrower buffer
+        # — RR halves the live set every bounce, so the per-bounce fixed
+        # costs (shade, sorts, permutes) must shrink with it, not stay at B.
+        levels = [(TAIL_START, min(TAIL2_START, max_bounces),
+                   B // TAIL_DIV)]
+        if max_bounces > TAIL2_START:
+            levels.append((TAIL2_START, max_bounces,
+                           max(B // TAIL2_DIV, 2048)))
 
-        def tail_round_cond(tc):
-            return jnp.any(tc['alive'])
+        tf = dict(alive=final.alive, ro=final.ro, rd=final.rd,
+                  mask=final.state.mask,
+                  from_specular=final.state.from_specular,
+                  albedo_set=final.state.albedo_set,
+                  accucolor=final.state.accucolor,
+                  albedo_add=final.albedo_add,
+                  albedo_inc=final.albedo_inc,
+                  rand_idx=final.rand_idx,
+                  rays=final.rays_traced)
 
-        def tail_round(tc):
-            # compact: alive lanes first (stable -> pixel order)
-            order = jnp.argsort(~tc['alive'], stable=True)
-            sel = order[:C]
-            sub = dict(
-                ro=tc['ro'][sel], rd=tc['rd'][sel],
-                mask=tc['mask'][sel],
-                accucolor=tc['accucolor'][sel],
-                from_specular=tc['from_specular'][sel],
-                albedo_set=tc['albedo_set'][sel],
-                alive=tc['alive'][sel],
-                xs=xs[sel], ys=ys[sel])
+        for start_b, end_b, C in levels:
+            tf['pending'] = tf['alive']
 
-            st0 = TraceState(mask=sub['mask'],
-                             accucolor=sub['accucolor'],
-                             light=jnp.zeros((C, 3), jnp.float32),
-                             from_specular=sub['from_specular'],
-                             albedo_set=sub['albedo_set'])
-            sc = _BounceCarry(
-                bounce=jnp.asarray(TAIL_START, jnp.int32),
-                ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
-                state=st0, cache=SampleCache.empty(C),
-                rand_idx=tc['rand_idx'],
-                albedo_add=jnp.zeros((C, 3), jnp.float32),
-                albedo_inc=jnp.zeros(C, jnp.float32),
-                rays_traced=jnp.zeros((), jnp.float32))
+            def tail_round(tc, start_b=start_b, end_b=end_b, C=C):
+                # compact: pending lanes first (stable -> lane order)
+                order = jnp.argsort(~tc['pending'], stable=True)
+                sel = order[:C]
+                sub = dict(
+                    ro=tc['ro'][sel], rd=tc['rd'][sel],
+                    mask=tc['mask'][sel],
+                    accucolor=tc['accucolor'][sel],
+                    from_specular=tc['from_specular'][sel],
+                    albedo_set=tc['albedo_set'][sel],
+                    alive=tc['pending'][sel],
+                    xs=xs[sel], ys=ys[sel])
 
-            def sub_body(c):
-                return _bounce_body(c, sub['xs'], sub['ys'], C)
+                st0 = TraceState(mask=sub['mask'],
+                                 accucolor=sub['accucolor'],
+                                 light=jnp.zeros((C, 3), jnp.float32),
+                                 from_specular=sub['from_specular'],
+                                 albedo_set=sub['albedo_set'])
+                sc = _BounceCarry(
+                    bounce=jnp.asarray(start_b, jnp.int32),
+                    ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
+                    state=st0, cache=SampleCache.empty(C),
+                    rand_idx=tc['rand_idx'],
+                    albedo_add=jnp.zeros((C, 3), jnp.float32),
+                    albedo_inc=jnp.zeros(C, jnp.float32),
+                    rays_traced=jnp.zeros((), jnp.float32))
 
-            sf = jax.lax.while_loop(
-                lambda c: (c.bounce < max_bounces) & jnp.any(c.alive),
-                sub_body, sc)
+                def sub_body(c):
+                    return _bounce_body(c, sub['xs'], sub['ys'], C)
 
-            # scatter results back by lane id; selected lanes are finished
-            return dict(
-                alive=tc['alive'].at[sel].set(False),
-                ro=tc['ro'], rd=tc['rd'], mask=tc['mask'],
-                from_specular=tc['from_specular'],
-                albedo_set=tc['albedo_set'],
-                accucolor=tc['accucolor'].at[sel].set(sf.state.accucolor),
-                albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
-                albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
-                rand_idx=sf.rand_idx,
-                rays=tc['rays'] + sf.rays_traced)
+                sf = jax.lax.while_loop(
+                    lambda c: (c.bounce < end_b) & jnp.any(c.alive),
+                    sub_body, sc)
 
-        tail0 = dict(alive=final.alive, ro=final.ro, rd=final.rd,
-                     mask=final.state.mask,
-                     from_specular=final.state.from_specular,
-                     albedo_set=final.state.albedo_set,
-                     accucolor=final.state.accucolor,
-                     albedo_add=final.albedo_add,
-                     albedo_inc=final.albedo_inc,
-                     rand_idx=final.rand_idx,
-                     rays=final.rays_traced)
-        tf = jax.lax.while_loop(tail_round_cond, tail_round, tail0)
+                # scatter back by lane id; survivors stay alive for the next
+                # level (their ray/state advanced to end_b), pending cleared
+                return dict(
+                    pending=tc['pending'].at[sel].set(False),
+                    alive=tc['alive'].at[sel].set(sf.alive),
+                    ro=tc['ro'].at[sel].set(sf.ro),
+                    rd=tc['rd'].at[sel].set(sf.rd),
+                    mask=tc['mask'].at[sel].set(sf.state.mask),
+                    from_specular=tc['from_specular'].at[sel].set(
+                        sf.state.from_specular),
+                    albedo_set=tc['albedo_set'].at[sel].set(
+                        sf.state.albedo_set),
+                    accucolor=tc['accucolor'].at[sel].set(sf.state.accucolor),
+                    albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
+                    albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
+                    rand_idx=sf.rand_idx,
+                    rays=tc['rays'] + sf.rays_traced)
+
+            tf = jax.lax.while_loop(lambda tc: jnp.any(tc['pending']),
+                                    tail_round, tf)
+            tf.pop('pending')
+
         final = final._replace(
             state=final.state._replace(accucolor=tf['accucolor']),
             albedo_add=tf['albedo_add'], albedo_inc=tf['albedo_inc'],
@@ -370,7 +395,8 @@ class Pathtracer:
     # a single dispatch handles at most this many ray lanes; larger frames
     # are rendered in horizontal bands (bounded device memory — the 32-bounce
     # fused program at 2M+ lanes exceeds a v5e's HBM)
-    MAX_LANES_PER_DISPATCH = 360_000
+    MAX_LANES_PER_DISPATCH = int(_os.environ.get('CPT_MAX_LANES',
+                                                 '2100000'))
 
     def __init__(self, scene, width: int = 640, height: int = 480,
                  skydome: str | None = None, blue_noise: str | None = None):

@@ -49,7 +49,7 @@ from ..accel.wide import (ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
                           LEAF_TRIS, LEAF_GIDS, LEAF_GID_MAX)
 
 PACKET = 128          # rays per packet = VPU lane count
-NPK = 2               # interleaved packets per grid step. The step is
+NPK = int(__import__('os').environ.get('CPT_NPK', '2'))  # interleaved packets per grid step. The step is
                       # VPU-bound (~170 ns of vector work); large NPK causes
                       # vector-register spills and straggler waste, so 2 is
                       # the sweet spot (tools/pallas_probe_r2h/i.py).

@@ -7,7 +7,12 @@ are replicated, and no collective is needed during a sample — only the display
 gather at frame end rides ICI (jnp arrays assembled from shards by jax).
 
 Because the RNG seeds derive from pixel coordinates (core/rng.py), a sharded
-render is bit-identical to the single-chip render.
+render is bit-identical to the single-chip render AT THE SAME BAND GEOMETRY
+(tested in tests/test_parallel.py). Caveat: tail narrowing compacts survivors
+per shard, so a configuration whose shard width crosses the TAIL_MIN_LANES
+gate, or whose survivors need a different number of tail rounds than the
+single-chip run, draws rand_idx values in a different order — unbiased and
+converging to the same image, but not bit-equal sample by sample.
 
 `shard_render_sample` wraps models.pathtracer.render_sample with shard_map;
 lane counts must divide the mesh size (pad the height if needed).

@@ -107,3 +107,28 @@ for k in range(8):
     tot += s
     print(f'tile packet {g}: steps={s} (inner {i_}, leaf {l_})')
 print('mean steps/packet (8x16 tiles):', tot / 8)
+
+# ---- bounce-packet step counts (appended for the collapse experiments) ----
+if __name__ == '__main__' and True:
+    import cuda_pathtracer_tpu.models.pathtracer as ptm
+    hit = jax.jit(lambda a, b: __import__(
+        'cuda_pathtracer_tpu.ops.dispatch', fromlist=['trace']).trace(
+        arrays, dyn, a, b, wide_depth=scene.wide_depth))(ro, rd)
+    tn = np.asarray(hit.t)
+    hp = ron + rdn * (tn[:, None] - 1e-3)
+    rng2 = np.random.default_rng(7)
+    d2 = rng2.normal(size=(B, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    flip = (d2 * rdn).sum(1) > 0
+    d2[flip] = -d2[flip]
+    order = np.asarray(ptm._sort_order(jnp.asarray(hp), jnp.asarray(d2),
+                                       dyn.bounds, direction_major=True))
+    hps, d2s = hp[order], d2[order]
+    tot = ti = tl = 0
+    K = 10
+    for k in range(K):
+        g = rng2.integers(0, B // 128)
+        s, i_, l_ = count_steps(hps[g*128:(g+1)*128], d2s[g*128:(g+1)*128])
+        tot += s; ti += i_; tl += l_
+    print(f'bounce packets (dir-sorted): mean steps {tot/K:.1f} '
+          f'(inner {ti/K:.1f}, leaf {tl/K:.1f})')
