@@ -395,8 +395,10 @@ class Pathtracer:
     # a single dispatch handles at most this many ray lanes; larger frames
     # are rendered in horizontal bands (bounded device memory — the 32-bounce
     # fused program at 2M+ lanes exceeds a v5e's HBM)
-    MAX_LANES_PER_DISPATCH = int(_os.environ.get('CPT_MAX_LANES',
-                                                 '2100000'))
+    # 360k lanes is the measured sweet spot (bigger bands lose to the
+    # XLA gather engine's marginal row cost; single-band 1080p benched 10%
+    # slower than 5 bands)
+    MAX_LANES_PER_DISPATCH = int(_os.environ.get('CPT_MAX_LANES', '360000'))
 
     def __init__(self, scene, width: int = 640, height: int = 480,
                  skydome: str | None = None, blue_noise: str | None = None):
