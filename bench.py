@@ -69,6 +69,18 @@ def main():
           f'({width}x{height}); energy={total:.1f} nan={has_nan} neg={has_neg}; '
           f'platform={jax.devices()[0].platform}', file=sys.stderr)
 
+    # ---- roofline context: how far from hardware limits the converge
+    # number sits. Packet traversal touches ~1 node row (512 B) per ray on
+    # coherent wavefronts and ~1 row per ray-step on sorted bounce wavefronts
+    # (measured unions: ~11 steps/128-ray tile packet, ~114 steps/bounce
+    # packet, tools/tpu_packet_steps.py) -> ~0.5-1 KB of VMEM-resident table
+    # reads per ray plus ~0.2 KB of HBM wavefront state.
+    hbm_gbs = rays / dt * 0.2e-3 / 1e6 * 1e3   # ~0.2 KB HBM state per ray
+    print(f'# roofline: ~{hbm_gbs:.1f} GB/s of HBM wavefront traffic at this '
+          f'rate (v5e peak ~800 GB/s); the binding resource is the VPU-bound '
+          f'packet step (~170-400 ns) x union steps, not bandwidth — '
+          f'see PERF.md', file=sys.stderr)
+
     # ---- interactive-rate figure (the reference headline: 130 fps at
     # 640x480 with 1 diffuse + 1 shadow ray, README.md:202) ----
     import jax.numpy as jnp

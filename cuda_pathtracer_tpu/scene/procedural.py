@@ -17,6 +17,54 @@ def _quads_to_tris(p00, p10, p01, p11):
     return v0, v1, v2
 
 
+def _grid_surface_uv(f, nu, nv, tile=(1.0, 1.0)):
+    """Like _grid_surface but also emits per-corner texture coordinates
+    (the parametric (u, v) scaled by `tile` repeats) so the procedural
+    stand-ins exercise the texture-sampling path like the reference's
+    MTL-textured assets do."""
+    us = np.linspace(0.0, 1.0, nu + 1)
+    vs = np.linspace(0.0, 1.0, nv + 1)
+    uu, vv = np.meshgrid(us, vs, indexing='ij')
+    pts = f(uu, vv)
+    tuv = np.stack([uu * tile[0], vv * tile[1]], -1)   # [nu+1, nv+1, 2]
+
+    def corners(a):
+        return (a[:-1, :-1].reshape(len(us) - 1, len(vs) - 1, -1),
+                a[1:, :-1].reshape(len(us) - 1, len(vs) - 1, -1),
+                a[:-1, 1:].reshape(len(us) - 1, len(vs) - 1, -1),
+                a[1:, 1:].reshape(len(us) - 1, len(vs) - 1, -1))
+
+    p00, p10, p01, p11 = (c.reshape(-1, 3) for c in corners(pts))
+    t00, t10, t01, t11 = (c.reshape(-1, 2) for c in corners(tuv))
+    v0, v1, v2 = _quads_to_tris(p00, p10, p01, p11)
+    u0 = np.concatenate([t00, t00])
+    u1 = np.concatenate([t10, t11])
+    u2 = np.concatenate([t11, t01])
+    uv6 = np.concatenate([u0, u1, u2], axis=1).astype(np.float32)
+    return v0, v1, v2, uv6
+
+
+def _stone_texture(size=128, seed=5):
+    """Procedural stone-like texture (value noise + mortar lines) standing
+    in for kamen.png on scenes whose real assets the reference doesn't
+    ship."""
+    rng = np.random.RandomState(seed)
+    img = np.zeros((size, size), np.float32)
+    for octave in (8, 16, 32):
+        g = rng.rand(octave + 1, octave + 1).astype(np.float32)
+        ys, xs = np.mgrid[0:size, 0:size] * (octave / size)
+        x0, y0 = xs.astype(int), ys.astype(int)
+        fx, fy = xs - x0, ys - y0
+        v = (g[y0, x0] * (1 - fx) * (1 - fy) + g[y0, x0 + 1] * fx * (1 - fy)
+             + g[y0 + 1, x0] * (1 - fx) * fy + g[y0 + 1, x0 + 1] * fx * fy)
+        img += v / (octave / 8)
+    img = 0.45 + 0.4 * (img - img.min()) / (np.ptp(img) + 1e-9)
+    # mortar lines every 32 texels
+    img[::32, :] *= 0.55
+    img[:, ::32] *= 0.55
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
 def _grid_surface(f, nu, nv):
     """Tessellate parametric surface f(u, v)->[...,3] on an (nu+1)x(nv+1) grid."""
     us = np.linspace(0.0, 1.0, nu + 1)
@@ -118,14 +166,16 @@ def add_high_poly_statue(scene, material: int, target_tris=2_000_000) -> int:
 
 
 def add_cathedral(scene, material: int) -> int:
-    """Sibenik-scale interior: barrel-vaulted hall with column rows.
-    (~75k triangles, interior bounce-heavy lighting like the cathedral.)"""
+    """Sibenik-scale interior: barrel-vaulted hall with column rows
+    (~75k triangles, interior bounce-heavy lighting like the cathedral),
+    stone-textured so renders pay the texture-gather cost like the real
+    sibenik.mtl assets (kamen.png, sibenik.mtl:39-42)."""
     parts = []
 
     LX, LY, LZ = 18.0, 10.0, 40.0   # half-width, wall height, length
 
-    def wall(f, nu, nv):
-        parts.append(_grid_surface(f, nu, nv))
+    def wall(f, nu, nv, tile=(6.0, 12.0)):
+        parts.append(_grid_surface_uv(f, nu, nv, tile))
 
     # floor
     wall(lambda u, v: np.stack([(-LX + 2 * LX * u), 0 * u - 12.0,
@@ -158,7 +208,10 @@ def add_cathedral(scene, material: int) -> int:
     v0 = np.concatenate([p[0] for p in parts]).astype(np.float32)
     v1 = np.concatenate([p[1] for p in parts]).astype(np.float32)
     v2 = np.concatenate([p[2] for p in parts]).astype(np.float32)
-    return scene.add_mesh(v0, v1, v2, material)
+    uv6 = np.concatenate([p[3] for p in parts]).astype(np.float32)
+    scene.materials[material].texture = scene.atlas.add_array(
+        _stone_texture())
+    return scene.add_mesh(v0, v1, v2, material, uv=uv6)
 
 
 def add_voxel_world(scene, material: int, n=160, seed=3) -> int:
