@@ -42,15 +42,17 @@ def sample_sky(sky_img, direction):
     tx = (fu - x0)[..., None]
     ty = (fv - y0)[..., None]
 
-    def fetch(xi, yi):
+    # ONE batched gather for all four bilinear corners: each gather dispatch
+    # has a ~0.5 ms fixed cost on TPU (PERF.md), so 4 separate corner fetches
+    # per bounce would cost ~3 dispatches of pure overhead
+    def flat(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), w)
         yi = jnp.mod(yi.astype(jnp.int32), h)
-        return sky_img[yi, xi]
-
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+        return yi * w + xi
+    idx4 = jnp.stack([flat(x0, y0), flat(x0 + 1, y0),
+                      flat(x0, y0 + 1), flat(x0 + 1, y0 + 1)])
+    c = sky_img.reshape(-1, sky_img.shape[-1])[idx4]
+    c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
     return ((c00 * (1 - tx) + c10 * tx) * (1 - ty)
             + (c01 * (1 - tx) + c11 * tx) * ty)
 

@@ -168,15 +168,16 @@ def sample_bilinear(stack: TextureStack, tex_id, u, v):
     tx = (fu - x0)[..., None]
     ty = (fv - y0)[..., None]
 
-    def fetch(xi, yi):
+    # one batched gather for the four corners (each gather dispatch costs
+    # ~0.5 ms fixed on TPU — see PERF.md)
+    def flat(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), w)
         yi = jnp.mod(yi.astype(jnp.int32), h)
-        return stack.texels[off + yi * w + xi]
-
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+        return off + yi * w + xi
+    idx4 = jnp.stack([flat(x0, y0), flat(x0 + 1, y0),
+                      flat(x0, y0 + 1), flat(x0 + 1, y0 + 1)])
+    c = stack.texels[idx4]
+    c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
     return ((c00 * (1 - tx) + c10 * tx) * (1 - ty)
             + (c01 * (1 - tx) + c11 * tx) * ty)
 
