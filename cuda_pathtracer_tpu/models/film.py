@@ -21,11 +21,12 @@ def clear_accumulators(n_pixels: int):
             jnp.zeros((n_pixels, 4), jnp.float32))
 
 
-def accumulate(lum, add_rgb):
+def accumulate(lum, add_rgb, n_samples: float = 1.0):
     """kernel_add_to_screen (src/kernels.h:812-824): rgb += sample color,
-    w += 1. Negative old values are clamped like the surf2Dread guard."""
+    w += n. Negative old values are clamped like the surf2Dread guard.
+    `n_samples` > 1 when the engine batched several spp into one wavefront."""
     old = jnp.maximum(lum[:, :3], 0.0)
-    return jnp.concatenate([old + add_rgb, lum[:, 3:4] + 1.0], axis=1)
+    return jnp.concatenate([old + add_rgb, lum[:, 3:4] + n_samples], axis=1)
 
 
 def accumulate_albedo(alb, add_rgb, inc):

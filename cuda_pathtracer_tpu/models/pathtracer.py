@@ -144,18 +144,25 @@ def tile_permutation(width: int, height: int):
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
                                    'guide_axis', 'wide_depth', 'defer_guide',
-                                   'tile_order'))
+                                   'tile_order', 'spp'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
                   row_offset=0, guide_axis: str | None = None,
                   wide_depth: int = 0, defer_guide: bool = False,
-                  tile_order: bool = False):
-    """Trace one sample per pixel; returns (lum', alb', radiance', rand_idx').
+                  tile_order: bool = False, spp: int = 1):
+    """Trace `spp` samples per pixel; returns (lum', alb', radiance',
+    rand_idx').
 
-    Mirrors one iteration of the sample loop in Pathtracer::Render
-    (src/pathtracer.h:255-301).
+    Mirrors the sample loop in Pathtracer::Render (src/pathtracer.h:255-301);
+    with spp > 1 several iterations are BATCHED into one wavefront of
+    spp*width*height lanes (sample-major blocks). This amortizes the
+    per-bounce fixed costs (sorts, shade dispatches, kernel launches) over
+    spp x the rays, and the coherence sort groups similar rays across
+    samples into tighter traversal packets. Each sample's lanes draw from a
+    disjoint rand_idx window (stride max_bounces+2) so streams stay
+    decorrelated; spp=1 is bit-identical to the unbatched engine.
 
     For multi-chip sharding (parallel/mesh.py) the function renders a
     horizontal band: `height` is the band height, `row_offset` (traced) the
@@ -170,39 +177,50 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     way."""
     full_height = full_height or height
     B = width * height
-    lanes = jnp.arange(B, dtype=jnp.int32)
+    L = B * spp
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    pix = lanes % B
     if tile_order:
-        xs, tys = _tile_coords(lanes, width)
+        xs, tys = _tile_coords(pix, width)
         ys = tys + jnp.asarray(row_offset, jnp.int32)
     else:
-        xs = lanes % width
-        ys = lanes // width + jnp.asarray(row_offset, jnp.int32)
+        xs = pix % width
+        ys = pix // width + jnp.asarray(row_offset, jnp.int32)
+    # per-lane rand_idx offset and sample index for batched spp
+    RSTRIDE = max_bounces + 2
+    if spp > 1:
+        s_vec = lanes // B
+        soff = (s_vec * RSTRIDE).astype(jnp.uint32)
+        samp = jnp.asarray(sample_idx, jnp.uint32) + s_vec.astype(jnp.uint32)
+    else:
+        soff = jnp.uint32(0)
+        samp = sample_idx
     # sorting only pays on the packet path (static shape-based decision)
     from ..ops.dispatch import use_packet_path
     do_sort = use_packet_path(dyn)
 
     # generate primary rays (kernel_generate_primary_rays, kernels.h:493-501;
     # camera jitter uses the raw xorshift stream, types.h:641-658)
-    seeds = _rng.get_seed(xs, ys, rand_idx, width)
+    seeds = _rng.get_seed(xs, ys, rand_idx + soff, width)
     ro, rd, _ = cam_mod.generate_rays(camera, xs, ys, seeds, width, full_height)
     rand_idx = rand_idx + jnp.uint32(1)
 
-    state0 = TraceState.clear(B)
+    state0 = TraceState.clear(L)
     carry = _BounceCarry(
         bounce=jnp.asarray(0, jnp.int32),
         ro=ro, rd=rd,
-        alive=jnp.ones(B, bool),
+        alive=jnp.ones(L, bool),
         state=state0,
-        cache=SampleCache.empty(B),
+        cache=SampleCache.empty(L),
         rand_idx=rand_idx,
-        albedo_add=jnp.zeros((B, 3), jnp.float32),
-        albedo_inc=jnp.zeros(B, jnp.float32),
+        albedo_add=jnp.zeros((L, 3), jnp.float32),
+        albedo_inc=jnp.zeros(L, jnp.float32),
         rays_traced=jnp.zeros((), jnp.float32))
 
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
-    def _bounce_body(c: _BounceCarry, xs_l, ys_l, Bl: int):
+    def _bounce_body(c: _BounceCarry, xs_l, ys_l, soff_l, samp_l, Bl: int):
         # extend: closest hit. On the packet path bounce rays (everything
         # after the tile-ordered primaries) are morton+octant sorted into
         # coherent packets; the sort is gated on bounce>0 only through the
@@ -215,7 +233,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     wide_depth=wide_depth, order=order)
 
         out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
-                    xs_l, ys_l, c.rand_idx, sample_idx, c.bounce,
+                    xs_l, ys_l, c.rand_idx + soff_l, samp_l, c.bounce,
                     nee, cache_on, radiance, width)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
 
@@ -264,7 +282,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             rays_traced=c.rays_traced + n_rays)
 
     def body(c: _BounceCarry):
-        return _bounce_body(c, xs, ys, B)
+        return _bounce_body(c, xs, ys, soff, samp, L)
 
     # ---- tail narrowing ----
     # After TAIL_START bounces, Russian roulette leaves only a few percent of
@@ -273,7 +291,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     # PERF.md). So survivors are compacted into a B/TAIL_DIV-wide buffer and
     # run to completion there, in as many rounds as needed (unbiased — no ray
     # is dropped). Disabled for small frames where it can't pay off.
-    use_tail = max_bounces > TAIL_START and B >= TAIL_MIN_LANES
+    use_tail = max_bounces > TAIL_START and L >= TAIL_MIN_LANES
 
     if use_tail:
         main_cond = lambda c: (c.bounce < TAIL_START) & jnp.any(c.alive)  # noqa: E731
@@ -287,10 +305,10 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         # — RR halves the live set every bounce, so the per-bounce fixed
         # costs (shade, sorts, permutes) must shrink with it, not stay at B.
         levels = [(TAIL_START, min(TAIL2_START, max_bounces),
-                   B // TAIL_DIV)]
+                   L // TAIL_DIV)]
         if max_bounces > TAIL2_START:
             levels.append((TAIL2_START, max_bounces,
-                           max(B // TAIL2_DIV, 2048)))
+                           max(L // TAIL2_DIV, 2048)))
 
         tf = dict(alive=final.alive, ro=final.ro, rd=final.rd,
                   mask=final.state.mask,
@@ -316,7 +334,9 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     from_specular=tc['from_specular'][sel],
                     albedo_set=tc['albedo_set'][sel],
                     alive=tc['pending'][sel],
-                    xs=xs[sel], ys=ys[sel])
+                    xs=xs[sel], ys=ys[sel],
+                    soff=soff[sel] if spp > 1 else soff,
+                    samp=samp[sel] if spp > 1 else samp)
 
                 st0 = TraceState(mask=sub['mask'],
                                  accucolor=sub['accucolor'],
@@ -333,7 +353,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     rays_traced=jnp.zeros((), jnp.float32))
 
                 def sub_body(c):
-                    return _bounce_body(c, sub['xs'], sub['ys'], C)
+                    return _bounce_body(c, sub['xs'], sub['ys'],
+                                        sub['soff'], sub['samp'], C)
 
                 sf = jax.lax.while_loop(
                     lambda c: (c.bounce < end_b) & jnp.any(c.alive),
@@ -380,11 +401,22 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                                           final.state.accucolor, guide_enabled,
                                           axis_name=guide_axis)
 
-    lum2 = film.accumulate(lum, final.state.accucolor)
-    alb2 = film.accumulate_albedo(alb, final.albedo_add, final.albedo_inc)
+    if spp > 1:
+        # reduce the sample-major lane blocks back to per-pixel sums
+        acc = jnp.sum(final.state.accucolor.reshape(spp, B, 3), axis=0)
+        aadd = jnp.sum(final.albedo_add.reshape(spp, B, 3), axis=0)
+        ainc = jnp.sum(final.albedo_inc.reshape(spp, B), axis=0)
+        rand_out = final.rand_idx + jnp.uint32((spp - 1) * RSTRIDE)
+    else:
+        acc, aadd, ainc = (final.state.accucolor, final.albedo_add,
+                           final.albedo_inc)
+        rand_out = final.rand_idx
+    lum2 = film.accumulate(lum, acc, n_samples=float(spp))
+    alb2 = film.accumulate_albedo(alb, aadd, ainc)
     # host randIdx advanced once per bounce + once for generate; return the
-    # loop's final value so the next sample continues the stream
-    return lum2, alb2, radiance2, final.rand_idx, final.rays_traced
+    # loop's final value (past the last sample's window) so the next sample
+    # continues the stream
+    return lum2, alb2, radiance2, rand_out, final.rays_traced
 
 
 class Pathtracer:
@@ -400,12 +432,22 @@ class Pathtracer:
     # slower than 5 bands)
     MAX_LANES_PER_DISPATCH = int(_os.environ.get('CPT_MAX_LANES', '360000'))
 
+    # converge samples batched per dispatch (render_sample spp): amortizes
+    # per-bounce fixed costs and tightens sorted packets across samples
+    SPP_PER_DISPATCH = int(_os.environ.get('CPT_SPP', '1'))
+
     def __init__(self, scene, width: int = 640, height: int = 480,
-                 skydome: str | None = None, blue_noise: str | None = None):
+                 skydome: str | None = None, blue_noise: str | None = None,
+                 spp: int | None = None):
         self.scene = scene
         self.width = width
         self.height = height
-        rows_per_band = max(1, self.MAX_LANES_PER_DISPATCH // width)
+        self.spp = spp if spp is not None else self.SPP_PER_DISPATCH
+        # the lane cap bounds TOTAL lanes per dispatch (pixels x spp): spp
+        # batching narrows the band so one dispatch covers spp samples of
+        # 1/spp of the rows at the same working-set size
+        lanes_per_row = width * self.spp
+        rows_per_band = max(1, self.MAX_LANES_PER_DISPATCH // lanes_per_row)
         self.bands = -(-height // rows_per_band)
         while height % self.bands:   # bands must divide the height evenly
             self.bands += 1
@@ -415,7 +457,7 @@ class Pathtracer:
             b = self.bands
             while b >= 1 and not (height % b == 0 and (height // b) % 8 == 0):
                 b -= 1
-            if b >= 1 and (height // b) * width <= self.MAX_LANES_PER_DISPATCH * 1.3:
+            if b >= 1 and (height // b) * lanes_per_row <= self.MAX_LANES_PER_DISPATCH * 1.3:
                 self.bands = b
         self.band_h = height // self.bands
         self.tile_order = (width % 16 == 0) and (self.band_h % 8 == 0)
@@ -459,6 +501,9 @@ class Pathtracer:
         # round the wide-BVH stack bound up to a multiple of 4 so small scene
         # edits don't force recompiles
         wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
+        # interactive (clear) frames render spp=1 for latency; converge
+        # frames batch self.spp samples into one dispatch per band
+        use_spp = 1 if should_clear else self.spp
         from .guiding import propagate as guide_propagate
         for _ in range(n_samples):
             guide = jnp.asarray((not should_clear) and self.cache
@@ -473,7 +518,7 @@ class Pathtracer:
                     nee=self.nee, cache_on=self.cache,
                     max_bounces=max_bounces,
                     width=self.width, height=self.height, wide_depth=wd,
-                    tile_order=self.tile_order)
+                    tile_order=self.tile_order, spp=use_spp)
             else:
                 # band-split frame: partial guiding sums combined, EMA once
                 lum_parts, alb_parts = [], []
@@ -495,7 +540,7 @@ class Pathtracer:
                         full_height=self.height,
                         row_offset=b * self.band_h,
                         wide_depth=wd, defer_guide=True,
-                        tile_order=self.tile_order)
+                        tile_order=self.tile_order, spp=use_spp)
                     lum_parts.append(lum_b)
                     alb_parts.append(alb_b)
                     gsum = s_b if gsum is None else gsum + s_b
@@ -509,7 +554,7 @@ class Pathtracer:
             # keep counters as device scalars: no host sync per sample, so
             # samples pipeline asynchronously like the reference's stream
             self.rand_idx = ridx
-            self.sample_idx += 1
+            self.sample_idx += use_spp
             self.rays_traced = self.rays_traced + rays
 
     def finish(self):

@@ -126,10 +126,12 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     bw = scene.blue_noise.shape[1]
     bh = scene.blue_noise.shape[0]
     bn_sample = scene.blue_noise[ys % bh, xs % bw]
+    # rand_idx / sample_idx may be per-lane vectors (spp-batched wavefronts
+    # give each sample's lanes a disjoint rand_idx window)
     rand_state = _rng.RandState(
         seed=_rng.get_seed(xs, ys, rand_idx, width),
         bn_sample=bn_sample,
-        bn_idx=jnp.full((B,), rand_idx, jnp.uint32),
+        bn_idx=jnp.broadcast_to(jnp.asarray(rand_idx, jnp.uint32), (B,)),
         sample_idx=jnp.asarray(sample_idx, jnp.uint32))
 
     # ---- hit decode: every per-hit lookup is ONE fat-row gather ----
