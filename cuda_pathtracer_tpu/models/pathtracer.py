@@ -220,7 +220,15 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
-    def _bounce_body(c: _BounceCarry, xs_l, ys_l, soff_l, samp_l, Bl: int):
+    # blue-noise texture read is constant per pixel: gather once per sample,
+    # not once per bounce (shading.py falls back to the per-bounce gather
+    # when bn is None)
+    bnw = scene.blue_noise.shape[1]
+    bnh = scene.blue_noise.shape[0]
+    bn_all = scene.blue_noise[ys % bnh, xs % bnw]
+
+    def _bounce_body(c: _BounceCarry, xs_l, ys_l, soff_l, samp_l, bn_l,
+                     Bl: int):
         # extend: closest hit. On the packet path bounce rays (everything
         # after the tile-ordered primaries) are morton+octant sorted into
         # coherent packets; the sort is gated on bounce>0 only through the
@@ -234,7 +242,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
 
         out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
                     xs_l, ys_l, c.rand_idx + soff_l, samp_l, c.bounce,
-                    nee, cache_on, radiance, width)
+                    nee, cache_on, radiance, width, bn_sample=bn_l)
         rand_idx2 = c.rand_idx + jnp.uint32(1)
 
         # connect: NEE shadow rays traced immediately (kernel_connect,
@@ -282,7 +290,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             rays_traced=c.rays_traced + n_rays)
 
     def body(c: _BounceCarry):
-        return _bounce_body(c, xs, ys, soff, samp, L)
+        return _bounce_body(c, xs, ys, soff, samp, bn_all, L)
 
     # ---- tail narrowing ----
     # After TAIL_START bounces, Russian roulette leaves only a few percent of
@@ -334,7 +342,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     from_specular=tc['from_specular'][sel],
                     albedo_set=tc['albedo_set'][sel],
                     alive=tc['pending'][sel],
-                    xs=xs[sel], ys=ys[sel],
+                    xs=xs[sel], ys=ys[sel], bn=bn_all[sel],
                     soff=soff[sel] if spp > 1 else soff,
                     samp=samp[sel] if spp > 1 else samp)
 
@@ -354,7 +362,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
 
                 def sub_body(c):
                     return _bounce_body(c, sub['xs'], sub['ys'],
-                                        sub['soff'], sub['samp'], C)
+                                        sub['soff'], sub['samp'],
+                                        sub['bn'], C)
 
                 sf = jax.lax.while_loop(
                     lambda c: (c.bounce < end_b) & jnp.any(c.alive),

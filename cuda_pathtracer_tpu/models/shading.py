@@ -102,7 +102,7 @@ def _refract(rd, normal, pos, ior, absorption, inside, t):
 def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
           xs, ys, rand_idx, sample_idx, bounce,
           nee: bool, cache_on: bool, radiance: RadianceState,
-          width: int) -> ShadeOutput:
+          width: int, bn_sample=None) -> ShadeOutput:
     """One wavefront shade pass. `nee`/`cache_on` are static toggles (the
     reference's __constant__ DNEE/DCACHE synced per clear, src/globals.h:8-28).
     `ray_active` marks lanes that had a ray this bounce (the wavefront queue
@@ -122,10 +122,13 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
     live = hit.intersected  # lanes still shading
 
-    # ---- per-bounce RNG (kernels.h:540-542) ----
-    bw = scene.blue_noise.shape[1]
-    bh = scene.blue_noise.shape[0]
-    bn_sample = scene.blue_noise[ys % bh, xs % bw]
+    # ---- per-bounce RNG (kernels.h:540-542). The blue-noise texture read is
+    # constant per pixel, so callers running a bounce loop hoist it out and
+    # pass bn_sample (saves one gather dispatch per bounce) ----
+    if bn_sample is None:
+        bw = scene.blue_noise.shape[1]
+        bh = scene.blue_noise.shape[0]
+        bn_sample = scene.blue_noise[ys % bh, xs % bw]
     # rand_idx / sample_idx may be per-lane vectors (spp-batched wavefronts
     # give each sample's lanes a disjoint rand_idx window)
     rand_state = _rng.RandState(

@@ -53,8 +53,25 @@ NPK = int(__import__('os').environ.get('CPT_NPK', '2'))  # interleaved packets p
                       # VPU-bound (~170 ns of vector work); large NPK causes
                       # vector-register spills and straggler waste, so 2 is
                       # the sweet spot (tools/pallas_probe_r2h/i.py).
-RAY_ROWS = 12         # fused ray-block rows per packet:
+PPC = int(__import__('os').environ.get('CPT_PPC', '8'))
+                      # packet SETS per grid cell, run sequentially inside
+                      # the kernel: amortizes the fixed per-cell cost
+                      # (pipeline ramp + while setup) over ppc x the rays.
+                      # Measured ~4% on coherent wavefronts
+                      # (tools/tpu_front_sweep.py NF=1 PPC=1 vs 8)
+NF = int(__import__('os').environ.get('CPT_PKF', '1'))
+                      # traversal FRONTS per packet: nodes visited per
+                      # while-step, kept disjoint through a shared
+                      # continuation stack. Hypothesis was that the
+                      # vector->scalar drain is per-STEP, so NF>1 would
+                      # amortize it over NF node visits; measured on real
+                      # sibenik wavefronts (tools/tpu_front_sweep.py) NF=2/4
+                      # is NEUTRAL-to-slightly-slower — the sync cost scales
+                      # with the dec_s traffic, not the step count. Default 1.
+RAY_ROWS = 16         # fused ray-block rows per packet:
                       # ox oy oz dx dy dz ivx ivy ivz t0 live soh
+                      # oivx oivy oivz pad  (oiv = o*inv_dir, precomputed so
+                      # the slab test is pure FMA: lo*iv - oiv)
 BIG = 3.0e38
 DONE = 2 ** 30          # plain python int: kernels must not capture traced constants
 MT_DET_EPS = 1e-4   # kernels.h:134 parity (ops/intersect.py:27)
@@ -127,31 +144,41 @@ def split_packet_tables(wide_rows: np.ndarray, depth: int) -> PacketTables:
     return PacketTables(jnp.asarray(inner), jnp.asarray(leaf), depth)
 
 
-def _kernel(npk: int, d: int, interpret: bool):
+def _stack_cap(nf: int, d: int) -> int:
+    """Shared-stack capacity for nf fronts of one packet: each front owns at
+    most one continuation per tree level plus slack for same-step churn."""
+    return nf * (d + 2) + 4
+
+
+def _kernel(npk: int, nf: int, d: int, ppc: int, cheap: bool,
+            interpret: bool):
     def kernel(itab_ref, ltab_ref, rays_ref, t_out, stk_n, stk_m,
                t_s, gid_s, fnd_s, dec_s):
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
-        rays = rays_ref[:]   # [npk*12, 128]: 12 rows per packet (see RAY_ROWS)
+        rays = rays_ref[:]   # [ppc*npk*12, 128]: 12 rows/packet (RAY_ROWS)
+        S = _stack_cap(nf, d)
 
-        def step_packet(p, cur, curmask, sp, t_s, gid_s, fnd_s, dec):
-            """One traversal step for packet p. The scalar sign of `cur`
-            selects the leaf or the inner branch — only the selected branch's
-            vector work executes (pl.when lowers to a real scalar branch).
-            Per-ray state (t/best/found) lives in VMEM scratch refs (carrying
-            (1,128) vectors through the while loop trips Mosaic layout
-            inference); the inner branch's scalar decisions pass through the
-            SMEM `dec` scratch."""
+        def vector_front(rb, p, i, cur, curmask):
+            """Vector work for front i of packet p: fetch node `cur`, run the
+            leaf or inner test against the packet's rays, leave the inner
+            branch's traversal decision in the SMEM `dec_s` scratch. All
+            fronts of a packet share the ray registers and the per-ray
+            (t, gid, found) scratch; one scalar drain per STEP then serves
+            every front's decision (the drain — not the vector work — is the
+            measured per-step wall, tools/kernel_lab.py)."""
             is_leaf = cur < 0
             alive = cur != DONE
 
-            b = p * RAY_ROWS
+            b = rb
             ox, oy, oz = rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]
             dx, dy, dz = rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]
             ivx, ivy, ivz = (rays[b + 6:b + 7], rays[b + 7:b + 8],
                              rays[b + 8:b + 9])
             livep = rays[b + 10:b + 11] != 0.0
             sohp = rays[b + 11:b + 12] != 0.0
+            oivx, oivy, oivz = (rays[b + 12:b + 13], rays[b + 13:b + 14],
+                                rays[b + 14:b + 15])
 
             # ---- leaf branch: 12 field-major Moller-Trumbore tests ----
             @pl.when(alive & is_leaf)
@@ -194,9 +221,16 @@ def _kernel(npk: int, d: int, interpret: bool):
                                              jnp.int32(2 ** 30)),
                                    axis=0, keepdims=True)
                 take = jnp.any(okm, axis=0, keepdims=True)
+                # visit-order-independent combine: strictly closer wins; on
+                # exactly equal t the LOWER world gid wins (multi-front
+                # traversal visits leaves in a different order than the
+                # sequential walk, so ties must not depend on order)
+                closer = take & (leaf_t < t)
+                tie = take & (leaf_t == t)
                 t_s[p:p + 1, :] = jnp.where(take, jnp.minimum(t, leaf_t), t)
-                gid_s[p:p + 1, :] = jnp.where(take & (leaf_t < t), leaf_gid,
-                                              best)
+                gid_s[p:p + 1, :] = jnp.where(
+                    closer, leaf_gid,
+                    jnp.where(tie, jnp.minimum(leaf_gid, best), best))
                 fnd_s[p:p + 1, :] = (found | take).astype(jnp.int32)
 
             # ---- inner branch: 16 slab tests (NaN boxes reject empties) ----
@@ -213,9 +247,10 @@ def _kernel(npk: int, d: int, interpret: bool):
                         (ARITY, 128))
                 lox, loy, loz = f16(0), f16(1), f16(2)
                 hix, hiy, hiz = f16(3), f16(4), f16(5)
-                t0x = (lox - ox) * ivx; t1x = (hix - ox) * ivx
-                t0y = (loy - oy) * ivy; t1y = (hiy - oy) * ivy
-                t0z = (loz - oz) * ivz; t1z = (hiz - oz) * ivz
+                # FMA form: one fused op per bound instead of sub+mul
+                t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+                t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+                t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
                 tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                                jnp.minimum(t0y, t1y)),
                                    jnp.minimum(t0z, t1z))
@@ -223,112 +258,164 @@ def _kernel(npk: int, d: int, interpret: bool):
                                                jnp.maximum(t0y, t1y)),
                                    jnp.maximum(t0z, t1z))
                 chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan)
+                # visited mask varies only per child: compute at (ARITY, 1)
                 vis = jnp.bitwise_and(jnp.right_shift(
-                    jnp.full((ARITY, 128), 1, jnp.int32) * curmask,
-                    jnp.broadcast_to(iota16, (ARITY, 128))), 1)
+                    jnp.full((ARITY, 1), 1, jnp.int32) * curmask, iota16), 1)
                 chit = chit & (vis == 0)
-                tsel = jnp.where(chit, tmin, BIG)
-                pc_min = jnp.min(tsel, axis=1, keepdims=True)      # [16,1]
                 anyc = jnp.any(chit, axis=1, keepdims=True)
-                key = jnp.where(anyc, pc_min, BIG)
-                kmin = jnp.min(key, axis=0, keepdims=True)
-                iota_sel = jnp.where((key == kmin) & anyc, iota16, ARITY)
+                if cheap:
+                    # any-hit wavefronts don't benefit from nearest-first
+                    # ordering: take the lowest-indexed unvisited hit child
+                    # and skip the per-child tmin reduction chain
+                    iota_sel = jnp.where(anyc, iota16, ARITY)
+                else:
+                    tsel = jnp.where(chit, tmin, BIG)
+                    pc_min = jnp.min(tsel, axis=1, keepdims=True)  # [16,1]
+                    key = jnp.where(anyc, pc_min, BIG)
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    iota_sel = jnp.where((key == kmin) & anyc, iota16, ARITY)
                 selc = jnp.min(iota_sel)                           # scalar
                 sel_onehot = (iota_sel == jnp.broadcast_to(
                     jnp.full((1, 1), 1, jnp.int32) * selc, (ARITY, 1))) & anyc
                 refs = jax.lax.bitcast_convert_type(
                     rowI[PREFS:PREFS + ARITY], jnp.int32)
-                dec[p, 0] = jnp.sum(jnp.where(sel_onehot, refs, 0))   # selref
-                dec[p, 1] = jnp.sum(jnp.where(sel_onehot, bits16, 0))  # selbit
-                dec[p, 2] = jnp.sum(anyc.astype(jnp.int32))            # nhits
+                dec_s[p, 3 * i + 0] = jnp.sum(
+                    jnp.where(sel_onehot, refs, 0))                 # selref
+                dec_s[p, 3 * i + 1] = jnp.sum(
+                    jnp.where(sel_onehot, bits16, 0))               # selbit
+                dec_s[p, 3 * i + 2] = jnp.sum(anyc.astype(jnp.int32))  # nhits
 
-            # ---- scalar traversal decision ----
-            selref, selbit, nhits = dec[p, 0], dec[p, 1], dec[p, 2]
-            descend = alive & ~is_leaf & (nhits > 0)
-            do_push = descend & (nhits > 1) & (sp < d)
-            @pl.when(do_push)
-            def _():
-                stk_n[p, sp] = cur
-                stk_m[p, sp] = curmask | selbit
-            sp2 = jnp.where(do_push, sp + 1, sp)
-            can_pop = alive & ~descend & (sp2 > 0)
-            spr = jnp.where(can_pop, sp2 - 1, sp2)
-            pn = stk_n[p, spr]
-            pm = stk_m[p, spr]
-            nxt = jnp.where(descend, selref, jnp.where(can_pop, pn, DONE))
-            nmask = jnp.where(descend, 0, jnp.where(can_pop, pm, 0))
-            nsp = jnp.where(can_pop, spr, sp2)
-            return (nxt.astype(jnp.int32), nmask.astype(jnp.int32),
-                    nsp.astype(jnp.int32))
+        def scalar_packet(p, curs_p, masks_p, sp):
+            """One scalar pass over packet p's fronts: descends, pushes, and
+            pops against the shared continuation stack. Fronts with no work
+            (DONE) pop a pending continuation, which is how the traversal
+            fans out from 1 front to nf and how idle fronts steal work."""
+            new_cur, new_mask = [], []
+            for i in range(nf):
+                cur, cmask = curs_p[i], masks_p[i]
+                is_leaf = cur < 0
+                alive = cur != DONE
+                selref = dec_s[p, 3 * i + 0]
+                selbit = dec_s[p, 3 * i + 1]
+                nhits = dec_s[p, 3 * i + 2]
+                descend = alive & ~is_leaf & (nhits > 0)
+                do_push = descend & (nhits > 1) & (sp < S)
 
-        def cond(carry):
-            curs = carry[0]
-            aliv = curs[0] != DONE
-            for p in range(1, npk):
-                aliv = aliv | (curs[p] != DONE)
-            return aliv
+                @pl.when(do_push)
+                def _(cur=cur, cmask=cmask, selbit=selbit, sp=sp):
+                    stk_n[p, sp] = cur
+                    stk_m[p, sp] = cmask | selbit
+                sp = jnp.where(do_push, sp + 1, sp)
+                can_pop = ~descend & (sp > 0)
+                spr = jnp.where(can_pop, sp - 1, sp)
+                pn = stk_n[p, spr]
+                pm = stk_m[p, spr]
+                nxt = jnp.where(descend, selref,
+                                jnp.where(can_pop, pn, DONE))
+                nmask = jnp.where(descend, 0, jnp.where(can_pop, pm, 0))
+                sp = jnp.where(can_pop, spr, sp)
+                new_cur.append(nxt.astype(jnp.int32))
+                new_mask.append(nmask.astype(jnp.int32))
+            return tuple(new_cur), tuple(new_mask), sp.astype(jnp.int32)
 
-        def body(carry):
-            curs, masks, sps = carry
-            out = [step_packet(p, curs[p], masks[p], sps[p],
-                               t_s, gid_s, fnd_s, dec_s) for p in range(npk)]
-            return (tuple(r[0] for r in out), tuple(r[1] for r in out),
-                    tuple(r[2] for r in out))
+        def run_pair(c):
+            """Traverse packet set c (npk packets) to completion. ppc sets
+            run sequentially per grid cell: the TPU grid is a sequential loop
+            anyway, but fusing ppc sets into one cell amortizes the measured
+            ~10+ us per-cell fixed overhead (pipeline ramp + loop setup,
+            tools/tpu_step_audit.py) over ppc x the rays — the difference
+            between 3 us and 1.1 us per iteration on coherent wavefronts."""
+            base = c * npk
 
-        # a packet starts at the root iff any of its lanes participates
-        for p in range(npk):
-            b = p * RAY_ROWS
-            t_s[p:p + 1, :] = rays[b + 9:b + 10]
-        gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
-        fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
-        starts = []
-        for p in range(npk):
-            b = p * RAY_ROWS
-            stk_n[p, 0] = 0
-            stk_m[p, 0] = 0
-            any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
-                               .astype(jnp.int32))
-            starts.append(jnp.where(any_live > 0, jnp.int32(0), DONE))
-        init = (tuple(starts),
-                tuple(jnp.int32(0) for _ in range(npk)),
-                tuple(jnp.int32(0) for _ in range(npk)))
-        jax.lax.while_loop(cond, body, init)
-        for p in range(npk):
-            t_out[4 * p + 0:4 * p + 1, :] = t_s[p:p + 1, :]
-            t_out[4 * p + 1:4 * p + 2, :] = jax.lax.bitcast_convert_type(
-                gid_s[p:p + 1, :], jnp.float32)
-            t_out[4 * p + 2:4 * p + 3, :] = fnd_s[p:p + 1, :].astype(
-                jnp.float32)
-            t_out[4 * p + 3:4 * p + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
+            def cond(carry):
+                curs = carry[0]
+                aliv = None
+                for p in range(npk):
+                    for i in range(nf):
+                        a = curs[p][i] != DONE
+                        aliv = a if aliv is None else (aliv | a)
+                return aliv
+
+            def body(carry):
+                curs, masks, sps, nst = carry
+                for p in range(npk):
+                    for i in range(nf):
+                        vector_front((base + p) * RAY_ROWS, p, i,
+                                     curs[p][i], masks[p][i])
+                out = [scalar_packet(p, curs[p], masks[p], sps[p])
+                       for p in range(npk)]
+                return (tuple(r[0] for r in out), tuple(r[1] for r in out),
+                        tuple(r[2] for r in out), nst + 1)
+
+            # a packet starts at the root iff any of its lanes participates;
+            # front 0 holds the root, the rest fan out through the stack
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                t_s[p:p + 1, :] = rays[b + 9:b + 10]
+            gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
+            fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+            starts = []
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                stk_n[p, 0] = 0
+                stk_m[p, 0] = 0
+                any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
+                                   .astype(jnp.int32))
+                root = jnp.where(any_live > 0, jnp.int32(0), DONE)
+                starts.append(tuple(
+                    [root] + [jnp.int32(DONE)] * (nf - 1)))
+            init = (tuple(starts),
+                    tuple(tuple(jnp.int32(0) for _ in range(nf))
+                          for _ in range(npk)),
+                    tuple(jnp.int32(0) for _ in range(npk)),
+                    jnp.int32(0))
+            fin = jax.lax.while_loop(cond, body, init)
+            nsteps = fin[3]
+            for p in range(npk):
+                o = 4 * (base + p)
+                t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
+                t_out[o + 1:o + 2, :] = jax.lax.bitcast_convert_type(
+                    gid_s[p:p + 1, :], jnp.float32)
+                t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
+                # pad slot = while-iteration count for this packet set
+                # (step-count diagnostics; engine callers ignore it)
+                t_out[o + 3:o + 4, :] = jnp.full(
+                    (1, PACKET), 1.0, jnp.float32) * nsteps.astype(jnp.float32)
+
+        for c in range(ppc):
+            run_pair(c)
     return kernel
 
 
-@partial(jax.jit, static_argnames=('depth', 'interpret'))
-def _run_packets(itab, ltab, rays, *, depth: int, interpret: bool):
+@partial(jax.jit, static_argnames=('depth', 'cheap', 'interpret'))
+def _run_packets(itab, ltab, rays, *, depth: int, cheap: bool = False,
+                 interpret: bool):
     """rays: f32[G*NPK*RAY_ROWS, 128] fused ray blocks (see RAY_ROWS layout).
     Returns out f32[G*NPK*4, 128]: per packet rows (t, gid bitcast, found,
     pad)."""
-    gn = rays.shape[0] // (NPK * RAY_ROWS)
+    gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     grid = (gn,)
     d = depth + 2
-    rayspec = pl.BlockSpec((NPK * RAY_ROWS, PACKET), lambda g: (g, 0),
+    S = _stack_cap(NF, d)
+    rayspec = pl.BlockSpec((PPC * NPK * RAY_ROWS, PACKET), lambda g: (g, 0),
                            memory_space=pltpu.VMEM)
-    outspec = pl.BlockSpec((NPK * 4, PACKET), lambda g: (g, 0),
+    outspec = pl.BlockSpec((PPC * NPK * 4, PACKET), lambda g: (g, 0),
                            memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((gn * NPK * 4, PACKET), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
+                                     jnp.float32)
     return pl.pallas_call(
-        _kernel(NPK, d, interpret),
+        _kernel(NPK, NF, d, PPC, cheap, interpret),
         grid=grid,
         out_shape=out_shape,
         in_specs=[tabspec, tabspec, rayspec],
         out_specs=outspec,
-        scratch_shapes=[pltpu.SMEM((NPK, d + 1), jnp.int32),
-                        pltpu.SMEM((NPK, d + 1), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((NPK, S + 1), jnp.int32),
+                        pltpu.SMEM((NPK, S + 1), jnp.int32),
                         pltpu.VMEM((NPK, PACKET), jnp.float32),
                         pltpu.VMEM((NPK, PACKET), jnp.int32),
                         pltpu.VMEM((NPK, PACKET), jnp.int32),
-                        pltpu.SMEM((NPK, 4), jnp.int32)],
+                        pltpu.SMEM((NPK, 3 * NF + 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -358,16 +445,17 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
     live = active & ~(stop_on_hit & found0)
 
     inv = isect.safe_inv_dir(rd)
-    # ray-major field matrix [B, 12]:
-    # (ox oy oz dx dy dz ivx ivy ivz t0 live soh)
+    # ray-major field matrix [B, 16]:
+    # (ox oy oz dx dy dz ivx ivy ivz t0 live soh oivx oivy oivz pad)
     M = jnp.concatenate([
         ro, rd, inv, t0[:, None],
         live.astype(jnp.float32)[:, None],
-        stop_on_hit.astype(jnp.float32)[:, None]], axis=1)
+        stop_on_hit.astype(jnp.float32)[:, None],
+        ro * inv, jnp.zeros_like(t0)[:, None]], axis=1)
     if order is not None:
         M = M[order]
 
-    lanes_per_g = PACKET * NPK
+    lanes_per_g = PACKET * NPK * PPC
     Bp = -(-B // lanes_per_g) * lanes_per_g
     M = jnp.pad(M, ((0, Bp - B), (0, 0)))     # padded rays: live=0 -> inert
     # block-pack: [G*NPK, 128 rays, 12 fields] -> [G*NPK, 12, 128]
@@ -375,7 +463,8 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
     rays = rays.reshape(-1, PACKET)
 
     outk = _run_packets(tables.inner, tables.leaf, rays,
-                        depth=tables.depth, interpret=interpret)
+                        depth=tables.depth, cheap=bool(any_hit),
+                        interpret=interpret)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]    # [B, 4] ray-major
     if order is not None:

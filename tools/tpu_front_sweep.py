@@ -1,13 +1,27 @@
-"""Honest packet-kernel timing: pipeline K async calls, fetch once (the
-~30 ms host<->tunnel RTT otherwise swamps every sub-50ms measurement)."""
+"""Sweep CPT_PKF (traversal fronts) x CPT_PPC (packet sets per grid cell)
+on real sibenik wavefronts. Each config runs in a subprocess because the
+knobs are module-level constants baked at import.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_front_sweep.py
+"""
+import itertools
+import os
+import subprocess
+import sys
+
+BODY = r"""
 import time
-import numpy as np, jax, jax.numpy as jnp
+import numpy as np, jax, jnp_alias
+"""
+
+CHILD = r"""
+import time
+import numpy as np, jax
+import jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache')
 from cuda_pathtracer_tpu.scene.builder import get_scene
 from cuda_pathtracer_tpu.core import camera as cam_mod
-from cuda_pathtracer_tpu.ops.traverse_wide import traverse_wide
 from cuda_pathtracer_tpu.ops import traverse_packet as tpk
-from cuda_pathtracer_tpu.ops import intersect as isect
 
 scene = get_scene('sibenik', asset_dirs=['/root/reference', '.'])
 arrays, dyn = scene.to_device(), scene.dynamic_arrays()
@@ -17,32 +31,26 @@ ys, xs = np.mgrid[0:H, 0:W]
 B = W * H
 ro, rd = cam_mod.generate_rays_simple(
     cam, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()), W, 1080)
-wd = -(-scene.wide_depth // 4) * 4
 tables = tpk.split_packet_tables(np.asarray(dyn.wide_rows), scene.wide_depth)
 TH, TW = 8, 16
 perm = jnp.asarray(np.arange(B).reshape(H//TH, TH, W//TW, TW)
                    .transpose(0, 2, 1, 3).reshape(-1))
 
-def bench(name, fn, *args, K=8):
+pack_f = jax.jit(lambda a, b: tpk.traverse_packet(arrays, tables, a, b))
+pack_any = jax.jit(lambda a, b, tm: tpk.traverse_packet(
+    arrays, tables, a, b, t_max=tm, any_hit=True))
+
+def bench(name, fn, *args, K=4):
     out = fn(*args)
     _ = np.asarray(out.t[:4])
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(K)]
-    _ = np.asarray(outs[-1].t[:4])
     for o_ in outs:
         o_.t.block_until_ready()
     dt = (time.perf_counter() - t0) / K
-    print(f'{name}: {dt*1e3:8.2f} ms/call -> {B/dt/1e6:7.2f} Mrays/s')
-    return out
+    print(f'  {name}: {dt*1e3:8.2f} ms  {B/dt/1e6:6.2f} Mrays/s', flush=True)
 
-pack_f = jax.jit(lambda a, b: tpk.traverse_packet(arrays, tables, a, b))
-pack_any = jax.jit(lambda a, b, tm: tpk.traverse_packet(
-    arrays, tables, a, b, t_max=tm, any_hit=True))
-wide_f = jax.jit(lambda a, b: traverse_wide(arrays, dyn.wide_rows, wd, a, b))
-
-h1 = bench('packet primary 8x16', pack_f, ro[perm], rd[perm])
-bench('wide   primary     ', wide_f, ro, rd, K=3)
-
+h1 = pack_f(ro[perm], rd[perm])
 hitn = np.asarray(h1.t)
 ron = np.asarray(ro[perm]); rdn = np.asarray(rd[perm])
 hp = ron + rdn * (hitn[:, None] - 1e-3)
@@ -51,8 +59,6 @@ d2 = rng.normal(size=(B, 3)).astype(np.float32)
 d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
 flip = (d2 * rdn).sum(1) > 0
 d2[flip] = -d2[flip]
-
-# morton sort of origins (10 bits/axis) + direction octant minor
 q = ((hp - hp.min(0)) / (np.ptp(hp, 0) + 1e-6) * 1023).astype(np.int64)
 def spread(v):
     v = (v | (v << 16)) & 0x030000FF
@@ -61,21 +67,37 @@ def spread(v):
     v = (v | (v << 2)) & 0x09249249
     return v
 morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-oct_ = ((d2[:, 0] > 0).astype(np.int64) | ((d2[:, 1] > 0).astype(np.int64) << 1)
+oct_ = ((d2[:, 0] > 0).astype(np.int64)
+        | ((d2[:, 1] > 0).astype(np.int64) << 1)
         | ((d2[:, 2] > 0).astype(np.int64) << 2))
-order_m = np.argsort((morton << 3) | oct_, kind='stable')
-order_om = np.argsort((oct_ << 30) | morton, kind='stable')
+om = jnp.asarray(np.argsort((morton << 3) | oct_, kind='stable'))
 ro2 = jnp.asarray(hp); rd2 = jnp.asarray(d2)
-om = jnp.asarray(order_m); oom = jnp.asarray(order_om)
-
-bench('bounce tile-order  ', pack_f, ro2, rd2, K=3)
-bench('bounce morton+oct  ', pack_f, ro2[om], rd2[om], K=3)
-bench('bounce oct+morton  ', pack_f, ro2[oom], rd2[oom], K=3)
-bench('wide   bounce      ', wide_f, ro2, rd2, K=3)
 
 light_p = np.array([-4.0, 8.0, 0.0], np.float32)
 sd = light_p[None, :] - hp
 dist = np.linalg.norm(sd, axis=1, keepdims=True)
-sd = sd / dist
+sdn = sd / dist
 tm3 = jnp.asarray(dist[:, 0] - 2e-3)
-bench('shadow 8x16        ', pack_any, jnp.asarray(hp), jnp.asarray(sd), tm3)
+
+bench('primary', pack_f, ro[perm], rd[perm])
+bench('bounce ', pack_f, ro2[om], rd2[om], K=2)
+bench('shadow ', pack_any, jnp.asarray(hp), jnp.asarray(sdn), tm3)
+"""
+
+if __name__ == '__main__':
+    configs = [(nf, ppc) for nf in (1, 2, 4) for ppc in (1, 8)]
+    for nf, ppc in configs:
+        env = dict(os.environ)
+        env['CPT_PKF'] = str(nf)
+        env['CPT_PPC'] = str(ppc)
+        print(f'NF={nf} PPC={ppc}', flush=True)
+        r = subprocess.run([sys.executable, '-c', CHILD], env=env,
+                           capture_output=True, text=True, timeout=1800)
+        out = [l for l in r.stdout.splitlines() if l.strip()]
+        err = [l for l in r.stderr.splitlines()
+               if 'WARNING' not in l and l.strip()][-3:]
+        for l in out:
+            print(l, flush=True)
+        if r.returncode != 0:
+            for l in err:
+                print('  ERR', l, flush=True)
