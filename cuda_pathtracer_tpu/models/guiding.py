@@ -87,12 +87,13 @@ def accumulate_buckets(state_tris: int, cache: SampleCache,
 
     seg = (cache.tri * GUIDE_BUCKETS + cache.bucket).reshape(-1)
     seg = jnp.where(valid.reshape(-1), seg, n_tris * GUIDE_BUCKETS)
-    sums = jax.ops.segment_sum(energy.reshape(-1), seg,
-                               num_segments=n_tris * GUIDE_BUCKETS + 1)
-    counts = jax.ops.segment_sum(weight.reshape(-1), seg,
-                                 num_segments=n_tris * GUIDE_BUCKETS + 1)
-    return (sums[:-1].reshape(n_tris, GUIDE_BUCKETS),
-            counts[:-1].reshape(n_tris, GUIDE_BUCKETS))
+    # one scatter for both quantities: segment_sum over a trailing feature
+    # dim costs the same sort/scatter as a scalar one
+    both = jnp.stack([energy.reshape(-1), weight.reshape(-1)], axis=-1)
+    sums2 = jax.ops.segment_sum(both, seg,
+                                num_segments=n_tris * GUIDE_BUCKETS + 1)
+    return (sums2[:-1, 0].reshape(n_tris, GUIDE_BUCKETS),
+            sums2[:-1, 1].reshape(n_tris, GUIDE_BUCKETS))
 
 
 def propagate(state: RadianceState, add_sum, add_count, enabled) -> RadianceState:

@@ -144,14 +144,15 @@ def tile_permutation(width: int, height: int):
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
                                    'guide_axis', 'wide_depth', 'defer_guide',
-                                   'tile_order', 'spp'))
+                                   'tile_order', 'spp', 'guide_off'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
                   row_offset=0, guide_axis: str | None = None,
                   wide_depth: int = 0, defer_guide: bool = False,
-                  tile_order: bool = False, spp: int = 1):
+                  tile_order: bool = False, spp: int = 1,
+                  guide_off: bool = False):
     """Trace `spp` samples per pixel; returns (lum', alb', radiance',
     rand_idx').
 
@@ -293,12 +294,19 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         return _bounce_body(c, xs, ys, soff, samp, bn_all, L)
 
     # ---- tail narrowing ----
-    # After TAIL_START bounces, Russian roulette leaves only a few percent of
-    # lanes alive, but a lockstep bounce still costs the full wavefront width
-    # (the per-gather-step cost is ~flat in lane count down to ~100k lanes,
-    # PERF.md). So survivors are compacted into a B/TAIL_DIV-wide buffer and
-    # run to completion there, in as many rounds as needed (unbiased — no ray
-    # is dropped). Disabled for small frames where it can't pay off.
+    # After TAIL_START bounces, branch termination + Russian roulette leave
+    # only a fraction of lanes alive, but a lockstep bounce still costs the
+    # full wavefront width in shade math, sorts and permutes. So survivors
+    # are compacted into a B/TAIL_DIV-wide buffer and run to completion
+    # there, in as many rounds as needed (unbiased — no ray is dropped).
+    # SampleCache rows ride through the compaction and scatter back, so
+    # guiding updates for bounces < MAX_CACHE_DEPTH stay identical to the
+    # full-width loop even when TAIL_START < MAX_CACHE_DEPTH. (Measured on
+    # the sibenik bench: TAIL_START=1/DIV=4 is a ~3% net LOSS — bounce-1
+    # cost is the incoherent traversal of the live rays, which narrowing
+    # does not shrink, and the compaction gather/scatter overhead exceeds
+    # the saved full-width shade — so the default stays at bounce 3.)
+    # Disabled for small frames where it can't pay off.
     use_tail = max_bounces > TAIL_START and L >= TAIL_MIN_LANES
 
     if use_tail:
@@ -326,7 +334,12 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                   albedo_add=final.albedo_add,
                   albedo_inc=final.albedo_inc,
                   rand_idx=final.rand_idx,
-                  rays=final.rays_traced)
+                  rays=final.rays_traced,
+                  # SampleCache rides through compaction (axis 0 is the
+                  # cache depth, axis 1 the lane) so bounces entering the
+                  # tail below MAX_CACHE_DEPTH still record guiding samples
+                  c_stype=final.cache.stype, c_tri=final.cache.tri,
+                  c_bucket=final.cache.bucket, c_cum=final.cache.cum_mask)
 
         for start_b, end_b, C in levels:
             tf['pending'] = tf['alive']
@@ -351,10 +364,14 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                                  light=jnp.zeros((C, 3), jnp.float32),
                                  from_specular=sub['from_specular'],
                                  albedo_set=sub['albedo_set'])
+                sub_cache = SampleCache(
+                    stype=tc['c_stype'][:, sel], tri=tc['c_tri'][:, sel],
+                    bucket=tc['c_bucket'][:, sel],
+                    cum_mask=tc['c_cum'][:, sel])
                 sc = _BounceCarry(
                     bounce=jnp.asarray(start_b, jnp.int32),
                     ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
-                    state=st0, cache=SampleCache.empty(C),
+                    state=st0, cache=sub_cache,
                     rand_idx=tc['rand_idx'],
                     albedo_add=jnp.zeros((C, 3), jnp.float32),
                     albedo_inc=jnp.zeros(C, jnp.float32),
@@ -385,7 +402,11 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
                     albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
                     rand_idx=sf.rand_idx,
-                    rays=tc['rays'] + sf.rays_traced)
+                    rays=tc['rays'] + sf.rays_traced,
+                    c_stype=tc['c_stype'].at[:, sel].set(sf.cache.stype),
+                    c_tri=tc['c_tri'].at[:, sel].set(sf.cache.tri),
+                    c_bucket=tc['c_bucket'].at[:, sel].set(sf.cache.bucket),
+                    c_cum=tc['c_cum'].at[:, sel].set(sf.cache.cum_mask))
 
             tf = jax.lax.while_loop(lambda tc: jnp.any(tc['pending']),
                                     tail_round, tf)
@@ -395,16 +416,28 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             state=final.state._replace(accucolor=tf['accucolor']),
             albedo_add=tf['albedo_add'], albedo_inc=tf['albedo_inc'],
             rand_idx=tf['rand_idx'], rays_traced=tf['rays'],
-            alive=tf['alive'])
+            alive=tf['alive'],
+            cache=SampleCache(stype=tf['c_stype'], tri=tf['c_tri'],
+                              bucket=tf['c_bucket'], cum_mask=tf['c_cum']))
 
     # guiding update (src/pathtracer.h:292-296). With defer_guide the raw
     # bucket sums are returned instead, so a band-split render can combine
     # partial sums and apply the (nonlinear) EMA exactly once per sample.
+    # guide_off statically removes the whole scatter: the reference gates the
+    # update kernels on the host (HCACHE && converge && sampleIndex < 100,
+    # pathtracer.h:292), and the host knows all three — samples past the
+    # 100-sample training window shouldn't keep paying the segment-sum.
     n_tris = radiance.cache.shape[0]
     if defer_guide:
-        from .guiding import accumulate_buckets
-        radiance2 = accumulate_buckets(n_tris, final.cache,
-                                       final.state.accucolor)
+        if guide_off:
+            z = jnp.zeros((n_tris, radiance.cache.shape[1]), jnp.float32)
+            radiance2 = (z, z)
+        else:
+            from .guiding import accumulate_buckets
+            radiance2 = accumulate_buckets(n_tris, final.cache,
+                                           final.state.accucolor)
+    elif guide_off:
+        radiance2 = radiance
     else:
         radiance2 = update_radiance_state(radiance, final.cache,
                                           final.state.accucolor, guide_enabled,
@@ -515,8 +548,13 @@ class Pathtracer:
         use_spp = 1 if should_clear else self.spp
         from .guiding import propagate as guide_propagate
         for _ in range(n_samples):
-            guide = jnp.asarray((not should_clear) and self.cache
-                                and self.sample_idx < 100)
+            # host-static guiding gate (HCACHE && converge && sampleIdx<100,
+            # src/pathtracer.h:292): all three terms are host state, so the
+            # jit specializes guiding away entirely outside the training
+            # window (one extra compile at the 100-sample boundary)
+            g_on = ((not should_clear) and self.cache
+                    and self.sample_idx < 100)
+            guide = jnp.asarray(g_on)
             if self.bands == 1:
                 self.lum, self.alb, self.radiance, ridx, rays = render_sample(
                     self.arrays, self.dyn, camera, self.radiance,
@@ -527,7 +565,8 @@ class Pathtracer:
                     nee=self.nee, cache_on=self.cache,
                     max_bounces=max_bounces,
                     width=self.width, height=self.height, wide_depth=wd,
-                    tile_order=self.tile_order, spp=use_spp)
+                    tile_order=self.tile_order, spp=use_spp,
+                    guide_off=not g_on)
             else:
                 # band-split frame: partial guiding sums combined, EMA once
                 lum_parts, alb_parts = [], []
@@ -549,7 +588,8 @@ class Pathtracer:
                         full_height=self.height,
                         row_offset=b * self.band_h,
                         wide_depth=wd, defer_guide=True,
-                        tile_order=self.tile_order, spp=use_spp)
+                        tile_order=self.tile_order, spp=use_spp,
+                    guide_off=not g_on)
                     lum_parts.append(lum_b)
                     alb_parts.append(alb_b)
                     gsum = s_b if gsum is None else gsum + s_b

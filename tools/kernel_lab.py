@@ -291,7 +291,8 @@ def main():
         M = jnp.concatenate([
             ro_, rd_, inv, t0[:, None],
             jnp.ones((B, 1), jnp.float32),
-            jnp.zeros((B, 1), jnp.float32)], axis=1)
+            jnp.zeros((B, 1), jnp.float32),
+            ro_ * inv, jnp.zeros((B, 1), jnp.float32)], axis=1)
         rays = jnp.swapaxes(M.reshape(-1, PACKET, RAY_ROWS), -1, -2)
         return rays.reshape(-1, PACKET)
 
