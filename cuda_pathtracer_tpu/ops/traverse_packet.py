@@ -68,6 +68,16 @@ NF = int(__import__('os').environ.get('CPT_PKF', '1'))
                       # sibenik wavefronts (tools/tpu_front_sweep.py) NF=2/4
                       # is NEUTRAL-to-slightly-slower — the sync cost scales
                       # with the dec_s traffic, not the step count. Default 1.
+SKIP_LIVE_CHECK = bool(int(__import__('os').environ.get('CPT_SKIP_LIVE', '0')))
+                      # experiment knob: start every packet at the root
+                      # without the per-set any-live reduction (dead packets
+                      # then traverse pointlessly; audit-only)
+CHEAP_ALL = bool(int(__import__('os').environ.get('CPT_CHEAP_ALL', '0')))
+                      # experiment knob: lowest-index (unordered) descent for
+                      # CLOSEST-hit traversals too. Results are identical
+                      # regardless of visit order (strict-closer + lowest-gid
+                      # tie rule); only the visit count and the per-visit
+                      # reduction chain change.
 RAY_ROWS = 16         # fused ray-block rows per packet:
                       # ox oy oz dx dy dz ivx ivy ivz t0 live soh
                       # oivx oivy oivz pad  (oiv = o*inv_dir, precomputed so
@@ -164,9 +174,11 @@ def _kernel(npk: int, nf: int, d: int, ppc: int, cheap: bool,
             leaf or inner test against the packet's rays, leave the inner
             branch's traversal decision in the SMEM `dec_s` scratch. All
             fronts of a packet share the ray registers and the per-ray
-            (t, gid, found) scratch; one scalar drain per STEP then serves
-            every front's decision (the drain — not the vector work — is the
-            measured per-step wall, tools/kernel_lab.py)."""
+            (t, gid, found) scratch. Measured cost anatomy (tools/kernel_lab
+            .py, kernel_lab2.py): the slab/leaf math is ~25-90 ns; the
+            child-selection reduction chain below is the ~430 ns per-visit
+            wall (serialized cross-lane reductions), while the SMEM round
+            trip and the scalar dependence are fully hidden."""
             is_leaf = cur < 0
             alive = cur != DONE
 
@@ -359,9 +371,12 @@ def _kernel(npk: int, nf: int, d: int, ppc: int, cheap: bool,
                 b = (base + p) * RAY_ROWS
                 stk_n[p, 0] = 0
                 stk_m[p, 0] = 0
-                any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
-                                   .astype(jnp.int32))
-                root = jnp.where(any_live > 0, jnp.int32(0), DONE)
+                if SKIP_LIVE_CHECK:
+                    root = jnp.int32(0)
+                else:
+                    any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
+                                       .astype(jnp.int32))
+                    root = jnp.where(any_live > 0, jnp.int32(0), DONE)
                 starts.append(tuple(
                     [root] + [jnp.int32(DONE)] * (nf - 1)))
             init = (tuple(starts),
@@ -463,7 +478,8 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
     rays = rays.reshape(-1, PACKET)
 
     outk = _run_packets(tables.inner, tables.leaf, rays,
-                        depth=tables.depth, cheap=bool(any_hit),
+                        depth=tables.depth,
+                        cheap=bool(any_hit) or CHEAP_ALL,
                         interpret=interpret)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]    # [B, 4] ray-major

@@ -39,14 +39,16 @@ def ray_blocks(ro_, rd_):
     M = jnp.concatenate([
         ro_, rd_, inv, t0[:, None],
         jnp.ones((B, 1), jnp.float32),
-        jnp.zeros((B, 1), jnp.float32)], axis=1)
+        jnp.zeros((B, 1), jnp.float32),
+        ro_ * inv, jnp.zeros((B, 1), jnp.float32)], axis=1)
     rays = jnp.swapaxes(M.reshape(-1, tpk.PACKET, tpk.RAY_ROWS), -1, -2)
     return rays.reshape(-1, tpk.PACKET)
 
 
 def audit(name, rays, K=3):
     f = jax.jit(lambda r: tpk._run_packets(
-        tables.inner, tables.leaf, r, depth=tables.depth, interpret=False))
+        tables.inner, tables.leaf, r, depth=tables.depth,
+        cheap=tpk.CHEAP_ALL, interpret=False))
     out = f(rays)
     _ = np.asarray(out[:1])
     t0 = time.perf_counter()
@@ -56,13 +58,15 @@ def audit(name, rays, K=3):
         o.block_until_ready()
     dt = (time.perf_counter() - t0) / K
     o4 = np.asarray(out).reshape(-1, 4, tpk.PACKET)
-    steps_cell = o4[0::tpk.NPK, 3, 0]   # same for every packet of a cell
-    total_iters = steps_cell.sum()
+    steps_cell = o4[0::tpk.NPK * tpk.PPC, 3, 0].astype(np.float64)
+    # pad slot holds the per-SET iteration count; sum the PPC sets of a cell
+    sets = o4[0::tpk.NPK, 3, 0].astype(np.float64)
+    total_iters = sets.sum()
     visits = total_iters * tpk.NPK * tpk.NF  # upper bound (idle fronts too)
     print(f'{name}: {dt*1e3:8.2f} ms  {B/dt/1e6:6.2f} Mrays/s  '
-          f'iters/cell mean={steps_cell.mean():7.1f} max={steps_cell.max():6.0f} '
+          f'iters/set mean={sets.mean():7.1f} max={sets.max():6.0f} '
           f'-> {dt/total_iters*1e9:7.1f} ns/iter '
-          f'({total_iters*tpk.NPK/B:5.2f} packet-steps/ray-slot)')
+          f'({total_iters*tpk.NPK/B:5.2f} packet-steps/ray-slot)', flush=True)
 
 
 prim = ray_blocks(ro[perm], rd[perm])
