@@ -419,18 +419,20 @@ def _run_packets(itab, ltab, rays, *, depth: int, cheap: bool = False,
     tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
                                      jnp.float32)
+    kern = _kernel(NPK, NF, d, PPC, cheap, interpret)
+    scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
+               pltpu.SMEM((NPK, S + 1), jnp.int32),
+               pltpu.VMEM((NPK, PACKET), jnp.float32),
+               pltpu.VMEM((NPK, PACKET), jnp.int32),
+               pltpu.VMEM((NPK, PACKET), jnp.int32),
+               pltpu.SMEM((NPK, 3 * NF + 1), jnp.int32)]
     return pl.pallas_call(
-        _kernel(NPK, NF, d, PPC, cheap, interpret),
+        kern,
         grid=grid,
         out_shape=out_shape,
         in_specs=[tabspec, tabspec, rayspec],
         out_specs=outspec,
-        scratch_shapes=[pltpu.SMEM((NPK, S + 1), jnp.int32),
-                        pltpu.SMEM((NPK, S + 1), jnp.int32),
-                        pltpu.VMEM((NPK, PACKET), jnp.float32),
-                        pltpu.VMEM((NPK, PACKET), jnp.int32),
-                        pltpu.VMEM((NPK, PACKET), jnp.int32),
-                        pltpu.SMEM((NPK, 3 * NF + 1), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -59,7 +59,11 @@ def audit(name, rays, K=3):
     dt = (time.perf_counter() - t0) / K
     o4 = np.asarray(out).reshape(-1, 4, tpk.PACKET)
     steps_cell = o4[0::tpk.NPK * tpk.PPC, 3, 0].astype(np.float64)
-    # pad slot holds the per-SET iteration count; sum the PPC sets of a cell
+    # pad = per-SET iteration count on every packet of the set.
+    # NOTE: the ms/Mrays wall numbers here INCLUDE the ~30 ms per-call
+    # tunnel RTT (even K pipelined calls serialize on this tunnel) — on
+    # short workloads (coherent primaries) the RTT dominates: subtract it
+    # before deriving per-iteration costs.
     sets = o4[0::tpk.NPK, 3, 0].astype(np.float64)
     total_iters = sets.sum()
     visits = total_iters * tpk.NPK * tpk.NF  # upper bound (idle fronts too)
