@@ -364,10 +364,17 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                                  light=jnp.zeros((C, 3), jnp.float32),
                                  from_specular=sub['from_specular'],
                                  albedo_set=sub['albedo_set'])
-                sub_cache = SampleCache(
-                    stype=tc['c_stype'][:, sel], tri=tc['c_tri'][:, sel],
-                    bucket=tc['c_bucket'][:, sel],
-                    cum_mask=tc['c_cum'][:, sel])
+                # the SampleCache carry is only live when this level starts
+                # below MAX_CACHE_DEPTH (static) — the default TAIL_START=3
+                # config skips all of its gathers/scatters
+                carry_cache = start_b < MAX_CACHE_DEPTH
+                if carry_cache:
+                    sub_cache = SampleCache(
+                        stype=tc['c_stype'][:, sel], tri=tc['c_tri'][:, sel],
+                        bucket=tc['c_bucket'][:, sel],
+                        cum_mask=tc['c_cum'][:, sel])
+                else:
+                    sub_cache = SampleCache.empty(C)
                 sc = _BounceCarry(
                     bounce=jnp.asarray(start_b, jnp.int32),
                     ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
@@ -388,7 +395,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
 
                 # scatter back by lane id; survivors stay alive for the next
                 # level (their ray/state advanced to end_b), pending cleared
-                return dict(
+                out = dict(
                     pending=tc['pending'].at[sel].set(False),
                     alive=tc['alive'].at[sel].set(sf.alive),
                     ro=tc['ro'].at[sel].set(sf.ro),
@@ -403,10 +410,28 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
                     rand_idx=sf.rand_idx,
                     rays=tc['rays'] + sf.rays_traced,
-                    c_stype=tc['c_stype'].at[:, sel].set(sf.cache.stype),
-                    c_tri=tc['c_tri'].at[:, sel].set(sf.cache.tri),
-                    c_bucket=tc['c_bucket'].at[:, sel].set(sf.cache.bucket),
-                    c_cum=tc['c_cum'].at[:, sel].set(sf.cache.cum_mask))
+                    c_stype=tc['c_stype'], c_tri=tc['c_tri'],
+                    c_bucket=tc['c_bucket'], c_cum=tc['c_cum'])
+                if carry_cache:
+                    # rounds after the first pad `sel` with already-completed
+                    # lanes (pending=False); their replayed bounces would
+                    # overwrite the guiding records they wrote in an earlier
+                    # round with TERMINATE, so only pending lanes scatter
+                    pend = sub['alive']
+                    out.update(
+                        c_stype=tc['c_stype'].at[:, sel].set(
+                            jnp.where(pend[None, :], sf.cache.stype,
+                                      sub_cache.stype)),
+                        c_tri=tc['c_tri'].at[:, sel].set(
+                            jnp.where(pend[None, :], sf.cache.tri,
+                                      sub_cache.tri)),
+                        c_bucket=tc['c_bucket'].at[:, sel].set(
+                            jnp.where(pend[None, :], sf.cache.bucket,
+                                      sub_cache.bucket)),
+                        c_cum=tc['c_cum'].at[:, sel].set(
+                            jnp.where(pend[None, :, None], sf.cache.cum_mask,
+                                      sub_cache.cum_mask)))
+                return out
 
             tf = jax.lax.while_loop(lambda tc: jnp.any(tc['pending']),
                                     tail_round, tf)

@@ -74,10 +74,12 @@ SKIP_LIVE_CHECK = bool(int(__import__('os').environ.get('CPT_SKIP_LIVE', '0')))
                       # then traverse pointlessly; audit-only)
 CHEAP_ALL = bool(int(__import__('os').environ.get('CPT_CHEAP_ALL', '0')))
                       # experiment knob: lowest-index (unordered) descent for
-                      # CLOSEST-hit traversals too. Results are identical
-                      # regardless of visit order (strict-closer + lowest-gid
-                      # tie rule); only the visit count and the per-visit
-                      # reduction chain change.
+                      # CLOSEST-hit traversals too. Results are visit-order
+                      # independent except for exact-t ties across DIFFERENT
+                      # leaves (a measure-zero geometric edge where the
+                      # first-visited leaf's gid wins); the visit count and
+                      # the per-visit reduction chain change. Measured -8%
+                      # on bounce wavefronts — kept off.
 RAY_ROWS = 16         # fused ray-block rows per packet:
                       # ox oy oz dx dy dz ivx ivy ivz t0 live soh
                       # oivx oivy oivz pad  (oiv = o*inv_dir, precomputed so
@@ -131,6 +133,15 @@ def split_packet_tables(wide_rows: np.ndarray, depth: int) -> PacketTables:
         n_child = src[:, 0].astype(np.int32)
         empty = np.arange(ARITY)[None, :] >= n_child[:, None]
         box[:, :, :] = np.where(empty[:, None, :], np.nan, box)
+        # NOTE on the FMA slab form (lo*iv - oiv): it carries rounding error
+        # ~2^-23 * |iv| * (|lo| + |o|) that the classic (lo - o) * iv form
+        # avoids (Sterbenz-exact subtraction), so box-BOUNDARY rays may cull
+        # differently from the wide/narrow paths by last-ulp margins.
+        # A conservative 2-ulp plane pad was tried and reverted: it exposes
+        # the mirror-image boundary lanes of the UNPADDED reference paths
+        # (real grazing hits those paths cull), breaking strict-equality
+        # parity in the other direction — the divergence is inherent to
+        # mixing slab formulations and is measure-zero either way.
         inner[:, PBOX0:PBOX0 + 96] = box.reshape(-1, 96)
         refs = src[:, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
         refs = np.where(empty, 0, remap[np.clip(refs, 0, len(rows) - 1)])
@@ -166,7 +177,7 @@ def _kernel(npk: int, nf: int, d: int, ppc: int, cheap: bool,
                t_s, gid_s, fnd_s, dec_s):
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
-        rays = rays_ref[:]   # [ppc*npk*12, 128]: 12 rows/packet (RAY_ROWS)
+        rays = rays_ref[:]   # [ppc*npk*RAY_ROWS, 128]: 16 rows/packet
         S = _stack_cap(nf, d)
 
         def vector_front(rb, p, i, cur, curmask):
@@ -233,16 +244,14 @@ def _kernel(npk: int, nf: int, d: int, ppc: int, cheap: bool,
                                              jnp.int32(2 ** 30)),
                                    axis=0, keepdims=True)
                 take = jnp.any(okm, axis=0, keepdims=True)
-                # visit-order-independent combine: strictly closer wins; on
-                # exactly equal t the LOWER world gid wins (multi-front
-                # traversal visits leaves in a different order than the
-                # sequential walk, so ties must not depend on order)
-                closer = take & (leaf_t < t)
-                tie = take & (leaf_t == t)
-                t_s[p:p + 1, :] = jnp.where(take, jnp.minimum(t, leaf_t), t)
-                gid_s[p:p + 1, :] = jnp.where(
-                    closer, leaf_gid,
-                    jnp.where(tie, jnp.minimum(leaf_gid, best), best))
+                # okm requires tt < t_scan STRICTLY, so a taken leaf is
+                # always closer than the carried t — no cross-leaf equal-t
+                # tie is possible here (an exact-t tie across leaves keeps
+                # the FIRST visited leaf's gid, i.e. visit order decides
+                # that measure-zero edge case; within one leaf the lowest
+                # gid wins via the leaf_gid min above)
+                t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+                gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
                 fnd_s[p:p + 1, :] = (found | take).astype(jnp.int32)
 
             # ---- inner branch: 16 slab tests (NaN boxes reject empties) ----
@@ -475,7 +484,7 @@ def traverse_packet(scene, tables: PacketTables, ro, rd, t_max=None,
     lanes_per_g = PACKET * NPK * PPC
     Bp = -(-B // lanes_per_g) * lanes_per_g
     M = jnp.pad(M, ((0, Bp - B), (0, 0)))     # padded rays: live=0 -> inert
-    # block-pack: [G*NPK, 128 rays, 12 fields] -> [G*NPK, 12, 128]
+    # block-pack: [G*PPC*NPK, 128 rays, 16 fields] -> [., 16, 128]
     rays = jnp.swapaxes(M.reshape(-1, PACKET, RAY_ROWS), -1, -2)
     rays = rays.reshape(-1, PACKET)
 

@@ -1,9 +1,12 @@
 """Packet-traversal kernel (ops/traverse_packet.py) vs the XLA wide path.
 
 Runs the Pallas kernel in interpreter mode on the CPU mesh (SURVEY.md §4's
-"fake backend" strategy); on TPU the same kernel compiles via Mosaic. Parity
-on real hardware is FMA-boundary-exact (~1e-5 of lanes may flip on borderline
-intersections); in interpret mode it is bit-exact.
+"fake backend" strategy); on TPU the same kernel compiles via Mosaic.
+Parity note: the kernel's slab test uses the FMA form (lo*iv - o*iv) while
+the wide path computes (lo - o)*iv, so box-BOUNDARY rays may cull
+differently by last-ulp margins in either mode (a measure-zero set of
+grazing rays, absent from these fixtures); everywhere else hits, prim ids
+and t agree exactly.
 """
 import numpy as np
 import jax.numpy as jnp
