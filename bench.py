@@ -26,7 +26,9 @@ def main():
     import os
     width, height = 1920, 1080
     warmup_samples = 1
-    bench_samples = int(os.environ.get('BENCH_SAMPLES', '4'))
+    # 8 samples ≈ 21 s on the chip: halves the ~±4% run-to-run spread the
+    # tunnel's latency jitter puts on shorter runs
+    bench_samples = int(os.environ.get('BENCH_SAMPLES', '8'))
 
     import jax
     jax.config.update('jax_compilation_cache_dir',
