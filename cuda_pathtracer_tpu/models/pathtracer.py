@@ -162,8 +162,9 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     per-bounce fixed costs (sorts, shade dispatches, kernel launches) over
     spp x the rays, and the coherence sort groups similar rays across
     samples into tighter traversal packets. Each sample's lanes draw from a
-    disjoint rand_idx window (stride max_bounces+2) so streams stay
-    decorrelated; spp=1 is bit-identical to the unbatched engine.
+    disjoint rand_idx window (stride sized for the worst-case advancement,
+    including multi-round tail narrowing) so streams stay decorrelated;
+    spp=1 is bit-identical to the unbatched engine.
 
     For multi-chip sharding (parallel/mesh.py) the function renders a
     horizontal band: `height` is the band height, `row_offset` (traced) the
@@ -187,8 +188,21 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     else:
         xs = pix % width
         ys = pix // width + jnp.asarray(row_offset, jnp.int32)
-    # per-lane rand_idx offset and sample index for batched spp
+    # per-lane rand_idx offset and sample index for batched spp. The shared
+    # rand_idx advances once for generate and once per bounce — but the tail
+    # levels below replay their bounce span once per compaction ROUND, so the
+    # worst-case advancement is 1 + max_bounces + (rounds-1) * span per level
+    # (rounds <= ceil(L / level_width)). The window stride must cover that
+    # worst case or sample s's seeds overlap sample s+1's (advisor finding,
+    # round 2).
     RSTRIDE = max_bounces + 2
+    if max_bounces > TAIL_START and L >= TAIL_MIN_LANES:
+        span1 = min(TAIL2_START, max_bounces) - TAIL_START
+        RSTRIDE += (TAIL_DIV - 1) * span1
+        if max_bounces > TAIL2_START:
+            c2 = max(L // TAIL2_DIV, 2048)
+            rounds2 = -(-L // c2)
+            RSTRIDE += (rounds2 - 1) * (max_bounces - TAIL2_START)
     if spp > 1:
         s_vec = lanes // B
         soff = (s_vec * RSTRIDE).astype(jnp.uint32)
@@ -579,6 +593,11 @@ class Pathtracer:
             # window (one extra compile at the 100-sample boundary)
             g_on = ((not should_clear) and self.cache
                     and self.sample_idx < 100)
+            # a batch straddling the 100-sample boundary is clamped so
+            # guiding never trains past the reference's window (one extra
+            # compile variant for the final training batch)
+            if g_on and self.sample_idx + use_spp > 100:
+                use_spp = max(1, 100 - self.sample_idx)
             guide = jnp.asarray(g_on)
             if self.bands == 1:
                 self.lum, self.alb, self.radiance, ridx, rays = render_sample(

@@ -421,7 +421,9 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         albedo_add=albedo_add, albedo_inc=albedo_inc)
 
 
-# NOTE: there is deliberately no standalone connect() here — the engine fuses
-# kernel_connect (src/kernels.h:799-810) into the next bounce's traversal via
-# per-lane stop_on_hit (models/pathtracer.py:_connect_pending), halving the
-# per-bounce gather cost.
+# NOTE: there is deliberately no standalone connect() here — the engine
+# traces the NEE shadow rays as a separate dest-sorted any-hit wavefront
+# right after shade (kernel_connect, src/kernels.h:799-810; see
+# models/pathtracer.py::_bounce_body). Round 1's extend+connect traversal
+# fusion is obsolete on the packet path: packets pay no per-dispatch gather
+# overhead, and separate calls let each wavefront sort by its own key.

@@ -137,6 +137,12 @@ def split_packet_tables(wide_rows: np.ndarray, depth: int) -> PacketTables:
         # ~2^-23 * |iv| * (|lo| + |o|) that the classic (lo - o) * iv form
         # avoids (Sterbenz-exact subtraction), so box-BOUNDARY rays may cull
         # differently from the wide/narrow paths by last-ulp margins.
+        # The divergence widens on near-parallel axes: safe_inv_dir clamps
+        # |dir| at 1e-20, so |iv| can reach ~1e20 and o*iv ~1e20-scale, where
+        # the cancellation error is ~1e15 ABSOLUTE — rays whose origin lies
+        # within ~1e-5 of a box plane on a parallel axis may cull differently
+        # (both slab bounds then sit at +/-huge, so the practical effect is
+        # confined to origins essentially ON the plane).
         # A conservative 2-ulp plane pad was tried and reverted: it exposes
         # the mirror-image boundary lanes of the UNPADDED reference paths
         # (real grazing hits those paths cull), breaking strict-equality
