@@ -117,6 +117,44 @@ def main():
           f'{fps:.1f} fps, {irays/fdt/1e6:.1f} Mrays/s '
           f'(reference: 130 fps on a GTX 960M)', file=sys.stderr)
 
+    # device-side frame time net of the ~30 ms/dispatch tunnel RTT: K whole
+    # interactive frames (clear + render + display transform) fused in ONE
+    # jit — what an on-prem host would see per frame
+    K = 16
+    from cuda_pathtracer_tpu.models.pathtracer import tile_permutation
+    inv_perm = None
+    perm = tile_permutation(iw, ih)
+    if perm is not None:
+        inv_perm = jnp.asarray(np.argsort(perm))
+
+    @jax.jit
+    def frames_device(rand0):
+        def one(i, carry):
+            rand_idx, _ = carry
+            l0, a0 = film.clear_accumulators(iw * ih)
+            l1, a1, _, ridx, _ = render_sample(
+                arrays, dyn, camera, radiance, l0, a0,
+                jnp.uint32(0), rand_idx, jnp.asarray(False),
+                nee=True, cache_on=True, max_bounces=2,
+                width=iw, height=ih, wide_depth=wd, tile_order=True)
+            if inv_perm is not None:
+                l1, a1 = l1[inv_perm], a1[inv_perm]
+            img = film.display(l1, a1, 1.0, iw, ih, blur=False)
+            return ridx, img
+        return jax.lax.fori_loop(0, K, one, (rand0, jnp.zeros(
+            (ih, iw, 3), jnp.float32)))
+
+    r = frames_device(jnp.uint32(3))
+    r[1].block_until_ready()
+    t0 = time.perf_counter()
+    r = frames_device(jnp.uint32(11))
+    r[1].block_until_ready()
+    _ = np.asarray(r[1][:1, :1])
+    dev_dt = (time.perf_counter() - t0) / K
+    print(f'# interactive_device_ms: {dev_dt*1e3:.1f} ms/frame = '
+          f'{1.0/dev_dt:.1f} fps device-side (display transform fused, '
+          f'RTT excluded)', file=sys.stderr)
+
     # ---- blur-filter share of frame time (reference: <=2%, README.md:173) --
     img_f = jax.jit(lambda l, a: film.display(l, a, 8.0, width, height,
                                               blur=False))

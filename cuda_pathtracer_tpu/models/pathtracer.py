@@ -94,11 +94,18 @@ def _sort_order(ro, rd, bounds, alive=None, direction_major=False):
         face = jnp.where(ax >= jnp.maximum(ay, az), 0,
                          jnp.where(ay >= az, 1, 2))
         m = jnp.maximum(jnp.maximum(ax, ay), az) + 1e-20
-        neg = jnp.take_along_axis(rd, face[:, None], axis=1)[:, 0] < 0
-        u = jnp.take_along_axis(rd, ((face + 1) % 3)[:, None],
-                                axis=1)[:, 0] / m
-        v = jnp.take_along_axis(rd, ((face + 2) % 3)[:, None],
-                                axis=1)[:, 0] / m
+        # component picks as arithmetic selects: a take_along_axis here
+        # compiles to a 414k-row gather costing ~5 ms per bounce on TPU
+        # (measured, tools/tpu_op_profile.py); the select chain is
+        # bit-identical and fuses to nothing
+        rx, ry, rz = rd[:, 0], rd[:, 1], rd[:, 2]
+
+        def pick(idx):
+            return jnp.where(idx == 0, rx, jnp.where(idx == 1, ry, rz))
+
+        neg = pick(face) < 0
+        u = pick((face + 1) % 3) / m
+        v = pick((face + 2) % 3) / m
         qu = jnp.clip(((u + 1.0) * 15.5).astype(jnp.int32), 0, 31)
         qv = jnp.clip(((v + 1.0) * 15.5).astype(jnp.int32), 0, 31)
         dir13 = ((((face << 1) | neg.astype(jnp.int32)) << 10)
@@ -529,26 +536,18 @@ class Pathtracer:
         # 1/spp of the rows at the same working-set size
         lanes_per_row = width * self.spp
         rows_per_band = max(1, self.MAX_LANES_PER_DISPATCH // lanes_per_row)
-        self.bands = -(-height // rows_per_band)
-        while height % self.bands:   # bands must divide the height evenly
-            self.bands += 1
+        bands = -(-height // rows_per_band)
+        while height % bands:        # bands must divide the height evenly
+            bands += 1
         # packet tiles want 8-row-aligned bands; relax the lane cap a little
         # to find one (e.g. 1080p -> 5 bands of 216 rows)
         if width % 16 == 0 and height % 8 == 0:
-            b = self.bands
+            b = bands
             while b >= 1 and not (height % b == 0 and (height // b) % 8 == 0):
                 b -= 1
             if b >= 1 and (height // b) * lanes_per_row <= self.MAX_LANES_PER_DISPATCH * 1.3:
-                self.bands = b
-        self.band_h = height // self.bands
-        self.tile_order = (width % 16 == 0) and (self.band_h % 8 == 0)
-        self._inv_perm = None
-        if self.tile_order:
-            import numpy as _np
-            perm = tile_permutation(width, self.band_h)      # lane -> pixel
-            full = _np.concatenate([perm + b * self.band_h * width
-                                    for b in range(self.bands)])
-            self._inv_perm = jnp.asarray(_np.argsort(full))
+                bands = b
+        self._set_bands(bands)
         self.nee = True        # HNEE (src/pathtracer.h:213)
         self.cache = True      # HCACHE
         self.arrays = scene.to_device(skydome=skydome, blue_noise=blue_noise)
@@ -559,6 +558,22 @@ class Pathtracer:
         self.sample_idx = 0
         self.rand_idx = 0
         self.rays_traced = 0.0   # perf counter (not in the reference)
+
+    def _set_bands(self, bands: int):
+        """Fix the band geometry (bands must divide the height). Recomputes
+        the tile-order permutation; safe to call again after __init__ (the
+        sharded engine aligns the band count to its mesh size)."""
+        import numpy as _np
+        assert self.height % bands == 0, (self.height, bands)
+        self.bands = bands
+        self.band_h = self.height // bands
+        self.tile_order = (self.width % 16 == 0) and (self.band_h % 8 == 0)
+        self._inv_perm = None
+        if self.tile_order:
+            perm = tile_permutation(self.width, self.band_h)  # lane -> pixel
+            full = _np.concatenate([perm + b * self.band_h * self.width
+                                    for b in range(bands)])
+            self._inv_perm = jnp.asarray(_np.argsort(full))
 
     def init(self):  # API parity with Application::Init
         pass
@@ -585,7 +600,6 @@ class Pathtracer:
         # interactive (clear) frames render spp=1 for latency; converge
         # frames batch self.spp samples into one dispatch per band
         use_spp = 1 if should_clear else self.spp
-        from .guiding import propagate as guide_propagate
         for _ in range(n_samples):
             # host-static guiding gate (HCACHE && converge && sampleIdx<100,
             # src/pathtracer.h:292): all three terms are host state, so the
@@ -599,56 +613,67 @@ class Pathtracer:
             if g_on and self.sample_idx + use_spp > 100:
                 use_spp = max(1, 100 - self.sample_idx)
             guide = jnp.asarray(g_on)
-            if self.bands == 1:
-                self.lum, self.alb, self.radiance, ridx, rays = render_sample(
-                    self.arrays, self.dyn, camera, self.radiance,
-                    self.lum, self.alb,
-                    jnp.asarray(self.sample_idx, jnp.uint32),
-                    jnp.asarray(self.rand_idx, jnp.uint32),
-                    guide,
-                    nee=self.nee, cache_on=self.cache,
-                    max_bounces=max_bounces,
-                    width=self.width, height=self.height, wide_depth=wd,
-                    tile_order=self.tile_order, spp=use_spp,
-                    guide_off=not g_on)
-            else:
-                # band-split frame: partial guiding sums combined, EMA once
-                lum_parts, alb_parts = [], []
-                gsum = gcnt = None
-                ridx = jnp.asarray(self.rand_idx, jnp.uint32)
-                rays = jnp.zeros((), jnp.float32)
-                bl = self.band_h * self.width
-                for b in range(self.bands):
-                    sl = slice(b * bl, (b + 1) * bl)
-                    lum_b, alb_b, (s_b, c_b), ridx_b, rays_b = render_sample(
-                        self.arrays, self.dyn, camera, self.radiance,
-                        self.lum[sl], self.alb[sl],
-                        jnp.asarray(self.sample_idx, jnp.uint32),
-                        jnp.asarray(self.rand_idx, jnp.uint32),
-                        guide,
-                        nee=self.nee, cache_on=self.cache,
-                        max_bounces=max_bounces,
-                        width=self.width, height=self.band_h,
-                        full_height=self.height,
-                        row_offset=b * self.band_h,
-                        wide_depth=wd, defer_guide=True,
-                        tile_order=self.tile_order, spp=use_spp,
-                    guide_off=not g_on)
-                    lum_parts.append(lum_b)
-                    alb_parts.append(alb_b)
-                    gsum = s_b if gsum is None else gsum + s_b
-                    gcnt = c_b if gcnt is None else gcnt + c_b
-                    ridx = jnp.maximum(ridx, ridx_b)
-                    rays = rays + rays_b
-                self.lum = jnp.concatenate(lum_parts)
-                self.alb = jnp.concatenate(alb_parts)
-                self.radiance = guide_propagate(self.radiance, gsum, gcnt,
-                                                guide)
+            ridx, rays = self._sample_dispatch(camera, guide, g_on,
+                                               max_bounces, wd, use_spp)
             # keep counters as device scalars: no host sync per sample, so
             # samples pipeline asynchronously like the reference's stream
             self.rand_idx = ridx
             self.sample_idx += use_spp
             self.rays_traced = self.rays_traced + rays
+
+    def _sample_dispatch(self, camera, guide, g_on: bool, max_bounces: int,
+                         wd: int, use_spp: int):
+        """One sample over the whole frame: band-split render_sample calls
+        with deferred guiding partial sums, EMA applied exactly once. The
+        multi-chip engine (parallel/mesh.ShardedPathtracer) overrides ONLY
+        this method, sharding the same banded dispatch over its mesh — the
+        per-band computation is identical."""
+        from .guiding import propagate as guide_propagate
+        if self.bands == 1:
+            self.lum, self.alb, self.radiance, ridx, rays = render_sample(
+                self.arrays, self.dyn, camera, self.radiance,
+                self.lum, self.alb,
+                jnp.asarray(self.sample_idx, jnp.uint32),
+                jnp.asarray(self.rand_idx, jnp.uint32),
+                guide,
+                nee=self.nee, cache_on=self.cache,
+                max_bounces=max_bounces,
+                width=self.width, height=self.height, wide_depth=wd,
+                tile_order=self.tile_order, spp=use_spp,
+                guide_off=not g_on)
+            return ridx, rays
+        # band-split frame: partial guiding sums combined, EMA once
+        lum_parts, alb_parts = [], []
+        gsum = gcnt = None
+        ridx = jnp.asarray(self.rand_idx, jnp.uint32)
+        rays = jnp.zeros((), jnp.float32)
+        bl = self.band_h * self.width
+        for b in range(self.bands):
+            sl = slice(b * bl, (b + 1) * bl)
+            lum_b, alb_b, (s_b, c_b), ridx_b, rays_b = render_sample(
+                self.arrays, self.dyn, camera, self.radiance,
+                self.lum[sl], self.alb[sl],
+                jnp.asarray(self.sample_idx, jnp.uint32),
+                jnp.asarray(self.rand_idx, jnp.uint32),
+                guide,
+                nee=self.nee, cache_on=self.cache,
+                max_bounces=max_bounces,
+                width=self.width, height=self.band_h,
+                full_height=self.height,
+                row_offset=b * self.band_h,
+                wide_depth=wd, defer_guide=True,
+                tile_order=self.tile_order, spp=use_spp,
+                guide_off=not g_on)
+            lum_parts.append(lum_b)
+            alb_parts.append(alb_b)
+            gsum = s_b if gsum is None else gsum + s_b
+            gcnt = c_b if gcnt is None else gcnt + c_b
+            ridx = jnp.maximum(ridx, ridx_b)
+            rays = rays + rays_b
+        self.lum = jnp.concatenate(lum_parts)
+        self.alb = jnp.concatenate(alb_parts)
+        self.radiance = guide_propagate(self.radiance, gsum, gcnt, guide)
+        return ridx, rays
 
     def finish(self):
         """Application::Finish — device sync (src/pathtracer.h:305-310)."""

@@ -112,7 +112,8 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     f3 = lambda m: m[..., None]  # noqa: E731 broadcast helper
 
     # ---- sky escape (kernels.h:526-537) ----
-    sk = sky_mod.sample_sky(scene.sky_img, rd)
+    sk = sky_mod.sample_sky_pairs(scene.sky_pairs, scene.sky_img.shape[:2],
+                                  rd)
     missed = ray_active & ~hit.intersected
     sky_add = state.mask * sk
     albedo_add = jnp.where(f3(missed & ~state.albedo_set), sky_add, 0.0)
@@ -139,9 +140,9 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
     # ---- hit decode: every per-hit lookup is ONE fat-row gather ----
     pid = jnp.maximum(hit.prim_id, 0)
-    tri_meta = dyn.tri_meta[pid]                          # [B, 2] gid|inst
-    gid = jnp.maximum(tri_meta[..., 0], 0)
-    inst = jnp.maximum(tri_meta[..., 1], 0)
+    tri_meta = dyn.tri_meta[pid]           # f32[B, 2] gid|inst float values
+    gid = jnp.maximum(tri_meta[..., 0].astype(jnp.int32), 0)
+    inst = jnp.maximum(tri_meta[..., 1].astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
     is_sphere = live & (hit.prim_type == PRIM_SPHERE)
     is_plane = live & (hit.prim_type == PRIM_PLANE)

@@ -57,6 +57,40 @@ def sample_sky(sky_img, direction):
             + (c01 * (1 - tx) + c11 * tx) * ty)
 
 
+def build_sky_pairs(sky_img: np.ndarray) -> np.ndarray:
+    """Horizontal texel-pair table [H*W, 6]: row (y*W + x) holds
+    texel(x, y) ++ texel((x+1) mod W, y). Bilinear sampling then needs TWO
+    row gathers (bottom pair + top pair) instead of four corner rows —
+    gather cost on TPU is per ROW, nearly independent of row width
+    (PERF.md), so this halves the dominant per-bounce sky cost for the price
+    of a duplicated skydome in HBM."""
+    img = np.asarray(sky_img, np.float32)
+    pairs = np.concatenate([img, np.roll(img, -1, axis=1)], axis=-1)
+    return pairs.reshape(-1, 2 * img.shape[-1])
+
+
+def sample_sky_pairs(sky_pairs, shape, direction):
+    """Bilinear skydome fetch from the pair table (bit-identical to
+    sample_sky: same corner texels, same lerp)."""
+    h, w = shape
+    u, v = normal_to_uv(direction)
+    fu = u * w - 0.5
+    fv = v * h - 0.5
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    tx = (fu - x0)[..., None]
+    ty = (fv - y0)[..., None]
+    xi = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    idx2 = jnp.stack([y0i * w + xi, y1i * w + xi])
+    rows = sky_pairs[idx2]                       # [2, ..., 6]
+    c00, c10 = rows[0][..., 0:3], rows[0][..., 3:6]
+    c01, c11 = rows[1][..., 0:3], rows[1][..., 3:6]
+    return ((c00 * (1 - tx) + c10 * tx) * (1 - ty)
+            + (c01 * (1 - tx) + c11 * tx) * ty)
+
+
 def build_sky_cdf(sky_img: np.ndarray):
     """Per-pixel max-component energy CDF (src/pathtracer.h:85-119).
     Returns (values, cum_values) both normalized by total energy."""

@@ -1,0 +1,403 @@
+"""Multi-push packet BVH traversal — generation 2 of the Pallas TPU kernel.
+
+The shipped kernel (ops/traverse_packet.py) spends ~430 ns of its ~0.55-1.1 us
+node visit in the nearest-first child-selection reduction chain: pc_min lane
+reduction, kmin, iota-min, and THREE full masked-sum scalar extractions per
+visit (selref/selbit/nhits), all serialized cross-lane work (measured,
+tools/kernel_lab*.py and PERF.md "Where the per-visit microsecond goes").
+
+This kernel removes nearly all of it with three structural changes:
+
+  * MERGED node table with CONTIGUOUS children: each inner node's children
+    occupy one contiguous id block [base, base+n), inner children first in
+    slot order, leaves after. The per-visit decision the scalar core needs is
+    just (hitmask, base|n_inner) — child ids are base+slot, leafness is
+    slot >= n_inner. No per-child refs cross the vector->scalar boundary.
+  * MULTI-PUSH, no re-prune: a visit pushes ONE stack entry (hitmask, meta)
+    and the scalar core unspools children from it bit by bit (lowest slot
+    first), clearing bits in place. No parent refetch, no visited masks, no
+    per-pop re-pruning slab pass.
+  * SUBLANE-space extraction: the only cross-LANE reduction left is one
+    any() over rays (chit -> anyc[16,1]); the two decision words are then
+    reductions over the 16-element sublane axis, which the VPU does cheaply.
+
+Descent order is lowest-slot-first (no nearest-first ordering): the
+CHEAP_ALL ablation measured +12% visits for unordered descent, which this
+design buys back several times over in per-visit cost. Exact-t ties across
+different leaves may resolve differently than the v1 kernel (visit order
+decides that measure-zero edge; within one leaf lowest-gid still wins).
+
+The bit-index-of-lowest-set-bit trick on the scalar core: float-convert the
+isolated bit (exact, single bit) and read its exponent — no LUT, no loops.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traverse import Hit, PRIM_TRIANGLE, _primitives_prepass
+from ..constants import T_MAX
+from ..accel.wide import (ARITY, LEAF_MAX, INNER_BOX0, INNER_REFS,
+                          LEAF_TRIS, LEAF_GIDS, LEAF_GID_MAX)
+from .traverse_packet import (PACKET, RAY_ROWS, BIG, DONE, MT_DET_EPS,
+                              PBOX0, PREFS, PTRIS, PGIDS)
+
+NPK = int(__import__('os').environ.get('CPT_NPK2', '2'))
+PPC = int(__import__('os').environ.get('CPT_PPC2', '8'))
+
+# merged-row lane layout: inner rows keep boxes at [0:96] and carry ONE meta
+# word; leaf rows keep the v1 leaf layout (tris at [0:108], gids [108:120])
+PMETA = 96            # meta int32 bitcast: base | (n_inner << 20)
+META_BASE_BITS = 20
+
+
+class MergedTable(NamedTuple):
+    rows: jnp.ndarray    # f32[N, 128]
+    depth: int
+
+
+def build_merged_table(wide_rows: np.ndarray, depth: int) -> MergedTable:
+    """Derive the merged contiguous-children table from the unified wide
+    table (accel/wide.py layout). BFS order guarantees every node's children
+    are contiguous; slots are permuted inner-first (box fields permuted
+    identically, so the slab test is unchanged up to slot order)."""
+    src = np.asarray(wide_rows, np.float32)
+    tag = src[:, 0]
+    n = len(src)
+    if n == 0 or (tag > 0).sum() == 0:
+        # single-leaf or empty scene: synthesize an inner root over one leaf
+        rows = np.zeros((2, 128), np.float32)
+        box = np.full((6, ARITY), np.nan, np.float32)
+        if n:
+            box[0:3, 0] = -BIG
+            box[3:6, 0] = BIG
+        rows[0, PBOX0:PBOX0 + 96] = box.reshape(-1)
+        meta = np.int32(1 | (0 << META_BASE_BITS))   # base=1, n_inner=0
+        rows[0, PMETA] = meta.view(np.float32)
+        if n and tag[0] < 0:
+            rows[1, PTRIS:PTRIS + 9 * LEAF_MAX] = _leaf_payload(src[0])
+            rows[1, PGIDS:PGIDS + LEAF_MAX] = src[0, LEAF_GIDS:LEAF_GID_MAX]
+        return MergedTable(jnp.asarray(rows), depth)
+
+    assert tag[0] > 0, 'wide root must be an inner row'
+    refs_all = src[:, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
+    nch_all = src[:, 0].astype(np.int32)
+
+    new_rows = []
+    # BFS: process inner nodes in assignment order; each processed node
+    # appends its whole child block contiguously
+    new_rows.append(None)            # placeholder for root
+    queue = [(0, 0)]                 # (old_id, new_id)
+    qi = 0
+    while qi < len(queue):
+        old, new = queue[qi]
+        qi += 1
+        nch = int(nch_all[old])
+        refs = refs_all[old, :nch]
+        inner_slots = [k for k in range(nch) if tag[refs[k]] > 0]
+        leaf_slots = [k for k in range(nch) if tag[refs[k]] <= 0]
+        order = inner_slots + leaf_slots
+        base = len(new_rows)
+        n_inner = len(inner_slots)
+        assert base < (1 << META_BASE_BITS), \
+            'merged table exceeds the 20-bit child base (scene too large ' \
+            'for the packet path)'
+        # permuted boxes for the parent row
+        box = src[old, INNER_BOX0:INNER_BOX0 + 96].reshape(6, ARITY)
+        newbox = np.full((6, ARITY), np.nan, np.float32)
+        newbox[:, :nch] = box[:, order]
+        row = np.zeros(128, np.float32)
+        row[PBOX0:PBOX0 + 96] = newbox.reshape(-1)
+        row[PMETA] = np.int32(base | (n_inner << META_BASE_BITS)).view(
+            np.float32)
+        new_rows[new] = row
+        # allocate children
+        for j, k in enumerate(order):
+            child_old = int(refs[k])
+            if tag[child_old] > 0:
+                new_rows.append(None)
+                queue.append((child_old, base + j))
+            else:
+                # leaf row: copy the leaf payload into merged layout
+                lrow = np.zeros(128, np.float32)
+                lrow[PTRIS:PTRIS + 9 * LEAF_MAX] = _leaf_payload(src[child_old])
+                lrow[PGIDS:PGIDS + LEAF_MAX] = src[child_old,
+                                                   LEAF_GIDS:LEAF_GID_MAX]
+                new_rows.append(lrow)
+    rows = np.stack([r for r in new_rows])
+    return MergedTable(jnp.asarray(rows), depth)
+
+
+def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
+    """(v0, e1, e2) field-major payload, same precompute as v1's split
+    tables (bit-identical f32 subtraction)."""
+    fm = leaf_row[LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(3, 3, LEAF_MAX)
+    pk = np.concatenate([fm[0], fm[1] - fm[0], fm[2] - fm[0]], axis=0)
+    return pk.reshape(-1)
+
+
+def _kernel(npk: int, d: int, ppc: int):
+    S = d + 3
+
+    def kernel(tab_ref, rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
+               dec_s):
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
+        bits16 = (1 << iota16)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        rays = rays_ref[:]
+
+        def visit(rb, p, cur):
+            """Vector work for packet p at node cur (>=0 inner, <0 leaf via
+            ~cur, DONE idle). Leaves (hitmask, meta) for inner visits in
+            dec_s."""
+            is_leaf = cur < 0
+            alive = cur != DONE
+            b = rb
+            ox, oy, oz = rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]
+            dx, dy, dz = rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]
+            ivx, ivy, ivz = (rays[b + 6:b + 7], rays[b + 7:b + 8],
+                             rays[b + 8:b + 9])
+            livep = rays[b + 10:b + 11] != 0.0
+            sohp = rays[b + 11:b + 12] != 0.0
+            oivx, oivy, oivz = (rays[b + 12:b + 13], rays[b + 13:b + 14],
+                                rays[b + 14:b + 15])
+
+            @pl.when(alive & is_leaf)
+            def _leaf():
+                rowL = jnp.transpose(tab_ref[pl.ds(~cur, 1), :])   # (128,1)
+                t = t_s[p:p + 1, :]
+                best = gid_s[p:p + 1, :]
+                found = fnd_s[p:p + 1, :] != 0
+                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
+
+                def f12(j):
+                    return jnp.broadcast_to(
+                        rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                        (LEAF_MAX, 128))
+                v0x, v0y, v0z = f12(0), f12(1), f12(2)
+                e1x, e1y, e1z = f12(3), f12(4), f12(5)
+                e2x, e2y, e2z = f12(6), f12(7), f12(8)
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+                sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = f * (dx * qx + dy * qy + dz * qz)
+                tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                       & (vv >= 0.0) & (u + vv <= 1.0)
+                       & (tt > 0.0) & (tt < t_scan))
+                ttm = jnp.where(okm, tt, BIG)
+                leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+                gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
+                    rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
+                leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids,
+                                             jnp.int32(2 ** 30)),
+                                   axis=0, keepdims=True)
+                take = jnp.any(okm, axis=0, keepdims=True)
+                t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+                gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
+                fnd_s[p:p + 1, :] = (found | take).astype(jnp.int32)
+
+            @pl.when(alive & ~is_leaf)
+            def _inner():
+                rowT = jnp.transpose(tab_ref[pl.ds(cur, 1), :])    # (128,1)
+                t = t_s[p:p + 1, :]
+                found = fnd_s[p:p + 1, :] != 0
+                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
+
+                def f16(k):
+                    return jnp.broadcast_to(
+                        rowT[PBOX0 + k * 16:PBOX0 + (k + 1) * 16],
+                        (ARITY, 128))
+                lox, loy, loz = f16(0), f16(1), f16(2)
+                hix, hiy, hiz = f16(3), f16(4), f16(5)
+                t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+                t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+                t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan)
+                # ONE cross-lane reduction (any over rays), then everything
+                # else lives in cheap sublane space
+                anyc = jnp.any(chit, axis=1, keepdims=True)        # (16,1)
+                dec_s[p, 0] = jnp.sum(jnp.where(anyc, bits16, 0))  # hitmask
+                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+                dec_s[p, 1] = jnp.sum(
+                    jnp.where(iota128 == PMETA, rowTi, 0))         # meta
+
+        def scalar_packet(p, cur, sp):
+            """Advance packet p: integrate a fresh inner decision, then pull
+            the next child from the stack top (bit-unspooling)."""
+            was_inner = (cur != DONE) & (cur >= 0)
+            bits_new = jnp.where(was_inner, dec_s[p, 0], 0)
+            meta_new = dec_s[p, 1]
+            do_push = (bits_new != 0) & (sp < S)
+
+            @pl.when(do_push)
+            def _():
+                stk_b[p, sp] = bits_new
+                stk_m[p, sp] = meta_new
+            sp = jnp.where(do_push, sp + 1, sp)
+
+            has = sp > 0
+            top = jnp.where(has, sp - 1, 0)
+            bits = stk_b[p, top]
+            meta = stk_m[p, top]
+            low = bits & (-bits)
+            # index of the isolated bit: 4 mask tests (scalar bitcast does
+            # not lower in Mosaic, so no f32-exponent trick)
+            j = (jnp.where((low & 0xAAAA) != 0, 1, 0)
+                 + jnp.where((low & 0xCCCC) != 0, 2, 0)
+                 + jnp.where((low & 0xF0F0) != 0, 4, 0)
+                 + jnp.where((low & 0xFF00) != 0, 8, 0))
+            base = meta & ((1 << META_BASE_BITS) - 1)
+            n_inner = meta >> META_BASE_BITS
+            child = base + j
+            child_leaf = j >= n_inner
+            nxt = jnp.where(has & (low != 0),
+                            jnp.where(child_leaf, ~child, child), DONE)
+            bits2 = bits ^ low
+
+            @pl.when(has)
+            def _():
+                stk_b[p, top] = bits2
+            sp = jnp.where(has & (bits2 == 0), top, sp)
+            return nxt.astype(jnp.int32), sp.astype(jnp.int32)
+
+        def run_set(c):
+            base = c * npk
+
+            def cond(carry):
+                curs = carry[0]
+                aliv = None
+                for p in range(npk):
+                    a = curs[p] != DONE
+                    aliv = a if aliv is None else (aliv | a)
+                return aliv
+
+            def body(carry):
+                curs, sps = carry
+                for p in range(npk):
+                    visit((base + p) * RAY_ROWS, p, curs[p])
+                out = [scalar_packet(p, curs[p], sps[p])
+                       for p in range(npk)]
+                return (tuple(r[0] for r in out), tuple(r[1] for r in out))
+
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                t_s[p:p + 1, :] = rays[b + 9:b + 10]
+            gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
+            fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+            starts = []
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
+                                   .astype(jnp.int32))
+                starts.append(jnp.where(any_live > 0, jnp.int32(0), DONE))
+            init = (tuple(starts), tuple(jnp.int32(0) for _ in range(npk)))
+            fin = jax.lax.while_loop(cond, body, init)
+            del fin
+            for p in range(npk):
+                o = 4 * (base + p)
+                t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
+                t_out[o + 1:o + 2, :] = jax.lax.bitcast_convert_type(
+                    gid_s[p:p + 1, :], jnp.float32)
+                t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
+                t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
+
+        for c in range(ppc):
+            run_set(c)
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('depth', 'interpret'))
+def _run_packets2(tab, rays, *, depth: int, interpret: bool):
+    gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
+    d = depth + 2
+    S = d + 3
+    rayspec = pl.BlockSpec((PPC * NPK * RAY_ROWS, PACKET), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec((PPC * NPK * 4, PACKET), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
+                                     jnp.float32)
+    scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
+               pltpu.SMEM((NPK, S + 1), jnp.int32),
+               pltpu.VMEM((NPK, PACKET), jnp.float32),
+               pltpu.VMEM((NPK, PACKET), jnp.int32),
+               pltpu.VMEM((NPK, PACKET), jnp.int32),
+               pltpu.SMEM((NPK, 2), jnp.int32)]
+    return pl.pallas_call(
+        _kernel(NPK, d, PPC),
+        grid=(gn,),
+        out_shape=out_shape,
+        in_specs=[tabspec, rayspec],
+        out_specs=outspec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(tab, rays)
+
+
+def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
+                     active=None, any_hit: bool = False, stop_on_hit=None,
+                     order=None, interpret: bool = False) -> Hit:
+    """Contract-compatible with traverse_packet (same Hit, same prepass)."""
+    from . import intersect as isect
+    B = ro.shape[0]
+    if t_max is None:
+        t_max = jnp.full((B,), T_MAX, jnp.float32)
+    if active is None:
+        active = jnp.ones((B,), bool)
+    t0, ptype0, pid0, found0 = _primitives_prepass(scene, ro, rd, t_max,
+                                                   any_hit)
+    if stop_on_hit is None:
+        stop_on_hit = jnp.full((B,), bool(any_hit))
+    live = active & ~(stop_on_hit & found0)
+
+    inv = isect.safe_inv_dir(rd)
+    M = jnp.concatenate([
+        ro, rd, inv, t0[:, None],
+        live.astype(jnp.float32)[:, None],
+        stop_on_hit.astype(jnp.float32)[:, None],
+        ro * inv, jnp.zeros_like(t0)[:, None]], axis=1)
+    if order is not None:
+        M = M[order]
+
+    lanes_per_g = PACKET * NPK * PPC
+    Bp = -(-B // lanes_per_g) * lanes_per_g
+    M = jnp.pad(M, ((0, Bp - B), (0, 0)))
+    rays = jnp.swapaxes(M.reshape(-1, PACKET, RAY_ROWS), -1, -2)
+    rays = rays.reshape(-1, PACKET)
+
+    outk = _run_packets2(table.rows, rays, depth=table.depth,
+                         interpret=interpret)
+    outk = outk.reshape(-1, 4, PACKET)
+    O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
+    if order is not None:
+        O = O[jnp.argsort(order)]
+    tk = O[:, 0]
+    gidk = jax.lax.bitcast_convert_type(O[:, 1], jnp.int32)
+    hitk = O[:, 2] != 0
+    ptype = jnp.where(hitk, PRIM_TRIANGLE, ptype0)
+    pid = jnp.where(hitk, gidk, pid0)
+    intersected = active & (hitk | found0)
+    return Hit(t=tk, prim_type=ptype, prim_id=pid, intersected=intersected)

@@ -1,21 +1,21 @@
-"""Multi-chip rendering: pixel-row sharding over a jax.sharding.Mesh.
+"""Multi-chip rendering: band sharding over a jax.sharding.Mesh.
 
 The reference is single-GPU (SURVEY.md §2: no NCCL/MPI anywhere); frames are
 embarrassingly parallel over pixels, so the TPU scaling axis is pure data
-parallelism: the pixel dimension is sharded across the mesh, the scene arrays
-are replicated, and no collective is needed during a sample — only the display
-gather at frame end rides ICI (jnp arrays assembled from shards by jax).
+parallelism. `ShardedPathtracer` is a THIN subclass of the tuned single-chip
+engine: it overrides only `_sample_dispatch`, replacing the sequential
+host-side band loop with a `shard_map` that places whole bands on mesh
+devices. Every band runs the SAME `render_sample` configuration as the
+single-chip engine — tile-ordered lanes, spp batching, multi-level tail
+narrowing, deferred guiding — so a sharded render is BIT-identical per band
+(the per-band luminance is the same array either way; only the order of the
+floating-point guiding partial-sum reduction differs, by design the same
+lullaby as the single-chip band loop's left-to-right sum).
 
-Because the RNG seeds derive from pixel coordinates (core/rng.py), a sharded
-render is bit-identical to the single-chip render AT THE SAME BAND GEOMETRY
-(tested in tests/test_parallel.py). Caveat: tail narrowing compacts survivors
-per shard, so a configuration whose shard width crosses the TAIL_MIN_LANES
-gate, or whose survivors need a different number of tail rounds than the
-single-chip run, draws rand_idx values in a different order — unbiased and
-converging to the same image, but not bit-equal sample by sample.
-
-`shard_render_sample` wraps models.pathtracer.render_sample with shard_map;
-lane counts must divide the mesh size (pad the height if needed).
+Collectives: one `psum` for the guiding bucket sums (applied before the
+nonlinear EMA so every chip holds the same cache), a `pmax` for the rand
+counter and a `psum` for the ray statistic. Framebuffer shards ride ICI only
+at display time (jax assembles the sharded array on fetch).
 """
 from __future__ import annotations
 
@@ -24,137 +24,115 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.pathtracer import render_sample as _render_sample
-from ..models import film
+from ..models.pathtracer import Pathtracer, render_sample
+from ..models.guiding import propagate as guide_propagate
 
 
-def make_mesh(devices=None, axis_name: str = 'px') -> Mesh:
+def make_mesh(devices=None, axis_name: str = 'b') -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_render_sample(mesh: Mesh, *, nee: bool, cache_on: bool,
-                        max_bounces: int, width: int, height: int,
-                        wide_depth: int = 0):
-    """Build a pjit-ted sharded sample function.
-
-    Shards the pixel axis of the accumulators across `mesh`; scene/dyn/camera
-    and the radiance cache are replicated. The guiding segment-sum runs per
-    shard and is all-reduced (psum) so every chip holds the same cache — the
-    only collective in the frame.
-    """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    assert height % n_dev == 0, \
-        f'height {height} must divide the mesh size {n_dev}'
-    shard_h = height // n_dev
-
-    def per_shard(scene, dyn, camera, radiance, lum, alb,
-                  sample_idx, rand_idx, guide_enabled, row0):
-        # render this shard's pixel rows with globally-correct pixel coords:
-        # the sub-render uses a local lane space; we rebuild global x/y by
-        # offsetting the row index, which the pixel-seeded RNG turns into
-        # exactly the same streams as the single-chip render. The guiding
-        # bucket sums are psum'd over the mesh BEFORE the EMA (guide_axis),
-        # so every chip applies the identical cache update.
-        lum2, alb2, rad2, ridx, rays = _render_sample(
-            scene, dyn, camera, radiance, lum, alb,
-            sample_idx, rand_idx, guide_enabled,
-            nee=nee, cache_on=cache_on, max_bounces=max_bounces,
-            width=width, height=shard_h, row_offset=row0[0],
-            full_height=height, guide_axis=axis, wide_depth=wide_depth)
-        # shards may exit their bounce loop at different depths; the global
-        # stream counter is the max (matching the single-chip global any())
-        ridx = jax.lax.pmax(ridx, axis)
-        rays = jax.lax.psum(rays, axis)
-        return lum2, alb2, rad2, ridx, rays
-
-    sharded = jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P(), P()),
-        check_vma=False)
-
-    row0 = jnp.arange(n_dev, dtype=jnp.int32) * shard_h
-
-    @jax.jit
-    def run(scene, dyn, camera, radiance, lum, alb,
-            sample_idx, rand_idx, guide_enabled):
-        return sharded(scene, dyn, camera, radiance, lum, alb,
-                       sample_idx, rand_idx, guide_enabled, row0)
-
-    return run
-
-
-class ShardedPathtracer:
-    """Multi-chip progressive renderer: same host API as models.Pathtracer
-    but with the pixel rows sharded over every device in the mesh."""
+class ShardedPathtracer(Pathtracer):
+    """Multi-chip progressive renderer: same host API and same engine
+    configuration as models.Pathtracer, with the frame's bands sharded over
+    every device in the mesh."""
 
     def __init__(self, scene, width: int = 640, height: int = 480,
-                 mesh: Mesh | None = None, skydome: str | None = None):
-        from ..constants import MAX_RAY_DEPTH
-        self.scene = scene
-        self.width = width
-        self.height = height
+                 mesh: Mesh | None = None, skydome: str | None = None,
+                 spp: int | None = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.nee = True
-        self.cache = True
-        self.arrays = scene.to_device(skydome=skydome)
-        self.dyn = scene.dynamic_arrays()
-        n_tris = int(self.arrays.tri_mat.shape[0])
-        from ..models.guiding import init_radiance_state
-        self.radiance = init_radiance_state(n_tris)
-        self.lum, self.alb = film.clear_accumulators(width * height)
-        self.sample_idx = 0
-        self.rand_idx = 0
-        self.rays_traced = 0.0
-        self._fns = {}
-        self._max_ray_depth = MAX_RAY_DEPTH
+        super().__init__(scene, width, height, skydome=skydome, spp=spp)
+        n = int(self.mesh.devices.size)
+        # the band count must be a multiple of the mesh size so shard_map can
+        # scatter whole bands; prefer tile-aligned bands (band_h % 8 == 0)
+        best = None
+        b = -(-self.bands // n) * n
+        while b <= height:
+            if height % b == 0:
+                if (height // b) % 8 == 0 or width % 16:
+                    best = b
+                    break
+                if best is None:
+                    best = b
+            b += n
+        assert best is not None, \
+            f'no band count multiple of {n} divides height {height}'
+        self._set_bands(best)
+        self._sharded_fns = {}
 
-    def _fn(self, max_bounces):
-        wd = -(-self.scene.wide_depth // 4) * 4 if self.scene.wide_depth else 0
-        key = (self.nee, self.cache, max_bounces, wd)
-        if key not in self._fns:
-            self._fns[key] = shard_render_sample(
-                self.mesh, nee=self.nee, cache_on=self.cache,
-                max_bounces=max_bounces, width=self.width, height=self.height,
-                wide_depth=wd)
-        return self._fns[key]
+    def _sharded(self, key):
+        if key in self._sharded_fns:
+            return self._sharded_fns[key]
+        g_on, max_bounces, wd, use_spp, nee, cache_on = key
+        axis = self.mesh.axis_names[0]
+        n_dev = int(self.mesh.devices.size)
+        per_dev = self.bands // n_dev
+        W, H, band_h = self.width, self.height, self.band_h
+        tile_order = self.tile_order
 
-    def render(self, camera, current_time: float = 0.0,
-               frame_time: float = 0.0, should_clear: bool = False):
-        if should_clear:
-            self.dyn = self.scene.dynamic_arrays()
-            self.lum, self.alb = film.clear_accumulators(self.width * self.height)
-            self.sample_idx = 0
-            self.rand_idx = 0
-        n_samples = self.scene.interactive_depth if should_clear else 1
-        max_bounces = (self.scene.interactive_depth if should_clear
-                       else self._max_ray_depth)
-        if not self.nee and should_clear:
-            max_bounces += 1
-        fn = self._fn(max_bounces)
-        for _ in range(n_samples):
-            guide = jnp.asarray((not should_clear) and self.cache
-                                and self.sample_idx < 100)
-            self.lum, self.alb, self.radiance, ridx, rays = fn(
-                self.arrays, self.dyn, camera, self.radiance,
-                self.lum, self.alb,
-                jnp.asarray(self.sample_idx, jnp.uint32),
-                jnp.asarray(self.rand_idx, jnp.uint32), guide)
-            # keep counters as device scalars: no host sync per sample, so
-            # samples pipeline asynchronously like the reference's stream
-            self.rand_idx = ridx
-            self.sample_idx += 1
-            self.rays_traced = self.rays_traced + rays
+        def per_shard(scene, dyn, camera, radiance, lum_b, alb_b,
+                      sample_idx, rand_idx, guide, row0_b):
+            # lum_b: [per_dev, band_len, 4] — this device's bands, identical
+            # math to the single-chip band loop body
+            lums, albs = [], []
+            gsum = gcnt = None
+            ridx = rand_idx
+            rays = jnp.zeros((), jnp.float32)
+            for j in range(per_dev):
+                lum_j, alb_j, (s_b, c_b), ridx_j, rays_j = render_sample(
+                    scene, dyn, camera, radiance, lum_b[j], alb_b[j],
+                    sample_idx, rand_idx, guide,
+                    nee=nee, cache_on=cache_on, max_bounces=max_bounces,
+                    width=W, height=band_h, full_height=H,
+                    row_offset=row0_b[j], wide_depth=wd, defer_guide=True,
+                    tile_order=tile_order, spp=use_spp, guide_off=not g_on)
+                lums.append(lum_j)
+                albs.append(alb_j)
+                gsum = s_b if gsum is None else gsum + s_b
+                gcnt = c_b if gcnt is None else gcnt + c_b
+                ridx = jnp.maximum(ridx, ridx_j)
+                rays = rays + rays_j
+            # the only collectives in a frame: guiding sums (before the
+            # nonlinear EMA), the rand counter max, the ray statistic
+            gsum = jax.lax.psum(gsum, axis)
+            gcnt = jax.lax.psum(gcnt, axis)
+            ridx = jax.lax.pmax(ridx, axis)
+            rays = jax.lax.psum(rays, axis)
+            radiance2 = guide_propagate(radiance, gsum, gcnt, guide)
+            return (jnp.stack(lums), jnp.stack(albs), radiance2, ridx, rays)
 
-    def finish(self):
-        self.lum.block_until_ready()
+        sharded = jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P(), P(),
+                      P(axis)),
+            out_specs=(P(axis), P(axis), P(), P(), P()),
+            check_vma=False)
 
-    def image(self, blur: bool = False):
-        return film.display(self.lum, self.alb, float(self.sample_idx),
-                            self.width, self.height, blur=blur)
+        row0 = jnp.arange(self.bands, dtype=jnp.int32) * band_h
 
-    def energy(self):
-        total, has_nan, has_neg = film.energy_audit(self.lum)
-        return float(total), bool(has_nan), bool(has_neg)
+        @jax.jit
+        def run(scene, dyn, camera, radiance, lum, alb,
+                sample_idx, rand_idx, guide):
+            bl = band_h * W
+            lum_s = lum.reshape(self.bands, bl, 4)
+            alb_s = alb.reshape(self.bands, bl, 4)
+            out = sharded(scene, dyn, camera, radiance, lum_s, alb_s,
+                          sample_idx, rand_idx, guide, row0)
+            lum2, alb2, radiance2, ridx, rays = out
+            return (lum2.reshape(-1, 4), alb2.reshape(-1, 4), radiance2,
+                    ridx, rays)
+
+        self._sharded_fns[key] = run
+        return run
+
+    def _sample_dispatch(self, camera, guide, g_on: bool, max_bounces: int,
+                         wd: int, use_spp: int):
+        run = self._sharded((g_on, max_bounces, wd, use_spp,
+                             self.nee, self.cache))
+        self.lum, self.alb, self.radiance, ridx, rays = run(
+            self.arrays, self.dyn, camera, self.radiance,
+            self.lum, self.alb,
+            jnp.asarray(self.sample_idx, jnp.uint32),
+            jnp.asarray(self.rand_idx, jnp.uint32), guide)
+        return ridx, rays

@@ -63,6 +63,9 @@ class SceneArrays(NamedTuple):
 
     # environment
     sky_img: jnp.ndarray         # f32[Hs, Ws, 3] equirect, bottom-row-first
+    sky_pairs: jnp.ndarray       # f32[Hs*Ws, 6] horizontal texel pairs
+                                 #   (models/sky.build_sky_pairs): bilinear
+                                 #   fetch = 2 row gathers instead of 4
     blue_noise: jnp.ndarray      # f32[Hb, Wb]
 
     # ---- packed single-gather lookup rows (TPU optimization: each gather
@@ -99,7 +102,9 @@ class DynamicArrays(NamedTuple):
     wide_rows: jnp.ndarray       # f32[NW, 128]
     light_packed: jnp.ndarray    # f32[TL, 16]: v0|v1|v2|normal|emission
     inst_packed: jnp.ndarray     # f32[I, 16]: transform(12)|override(bitcast)
-    tri_meta: jnp.ndarray        # i32[WT, 2]: gid|inst
+    tri_meta: jnp.ndarray        # f32[WT, 2]: gid|inst as float values
+                                 #   (< 2^24; f32 rows gather ~3.5x faster
+                                 #   than s32 rows on TPU)
     # split packet tables (ops/traverse_packet.py) derived from wide_rows —
     # the Pallas VMEM-resident traversal path; [0, 128] disables it
     packet_inner: jnp.ndarray    # f32[NI, 128]

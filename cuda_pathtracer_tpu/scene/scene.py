@@ -24,6 +24,7 @@ from ..accel.flatten import thread_bvh, ThreadedBVH
 from ..accel.toplevel import build_world_bvh
 from ..core import transforms as tf
 from ..ops.traverse import WorldArrays
+from ..models import sky as _sky_mod
 from ..constants import EPS
 
 NO_MATERIAL = -1  # the reference's 0xffffffff override marker
@@ -506,6 +507,7 @@ class Scene:
             light_tri=jnp.asarray(light_tri),
             light_inst=jnp.asarray(light_inst),
             sky_img=jnp.asarray(sky),
+            sky_pairs=jnp.asarray(_sky_mod.build_sky_pairs(sky)),
             blue_noise=jnp.asarray(bn),
             mat_packed=jnp.asarray(mat_packed),
             tri_packed=jnp.asarray(tri_packed),
@@ -590,9 +592,14 @@ class Scene:
 
         inst_packed = self._inst_packed(transforms, overrides)
         if self.objects:
-            tri_meta = np.stack([wb.tri_gid, wb.tri_inst], axis=1)
+            # stored as float VALUES (< 2^24 exact), not int: f32 rows get
+            # the gather-friendly layout on TPU (a same-shape s32 gather
+            # measured ~3.5x slower per row, tools/tpu_op_profile.py)
+            assert len(wb.tri_gid) < (1 << 24), 'gid exceeds f32 exactness'
+            tri_meta = np.stack([wb.tri_gid, wb.tri_inst],
+                                axis=1).astype(np.float32)
         else:
-            tri_meta = np.zeros((0, 2), np.int32)
+            tri_meta = np.zeros((0, 2), np.float32)
 
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),

@@ -79,8 +79,14 @@ def load_image(path: str) -> np.ndarray:
 
 
 class TextureStack(NamedTuple):
-    """Device-side atlas: all texels flattened, per-texture offset/size."""
+    """Device-side atlas: all texels flattened, per-texture offset/size.
+
+    `pairs` holds, for every texel, itself ++ its wrap-adjacent right
+    neighbor (within its own texture), so a bilinear fetch needs TWO row
+    gathers (bottom pair + top pair) instead of four corner rows — TPU
+    gather cost is per row, nearly independent of width (PERF.md)."""
     texels: jnp.ndarray   # f32[P, 3]
+    pairs: jnp.ndarray    # f32[P, 6]: texel(x,y) ++ texel((x+1)%W, y)
     offset: jnp.ndarray   # i32[K]
     width: jnp.ndarray    # i32[K]
     height: jnp.ndarray   # i32[K]
@@ -133,7 +139,7 @@ class TextureAtlas:
         if not self._images:
             # one white 1x1 texel so the arrays are never empty
             self._images.append(np.ones((1, 1, 3), np.float32))
-        offsets, ws, hs, flats = [], [], [], []
+        offsets, ws, hs, flats, pairflats = [], [], [], [], []
         off = 0
         for img in self._images:
             h, w, _ = img.shape
@@ -141,9 +147,12 @@ class TextureAtlas:
             ws.append(w)
             hs.append(h)
             flats.append(img.reshape(-1, 3))
+            pairflats.append(np.concatenate(
+                [img, np.roll(img, -1, axis=1)], axis=-1).reshape(-1, 6))
             off += w * h
         return TextureStack(
             texels=jnp.asarray(np.concatenate(flats, axis=0)),
+            pairs=jnp.asarray(np.concatenate(pairflats, axis=0)),
             offset=jnp.asarray(np.array(offsets, np.int32)),
             width=jnp.asarray(np.array(ws, np.int32)),
             height=jnp.asarray(np.array(hs, np.int32)))
@@ -168,16 +177,16 @@ def sample_bilinear(stack: TextureStack, tex_id, u, v):
     tx = (fu - x0)[..., None]
     ty = (fv - y0)[..., None]
 
-    # one batched gather for the four corners (each gather dispatch costs
-    # ~0.5 ms fixed on TPU — see PERF.md)
-    def flat(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), w)
-        yi = jnp.mod(yi.astype(jnp.int32), h)
-        return off + yi * w + xi
-    idx4 = jnp.stack([flat(x0, y0), flat(x0 + 1, y0),
-                      flat(x0, y0 + 1), flat(x0 + 1, y0 + 1)])
-    c = stack.texels[idx4]
-    c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
+    # two batched PAIR gathers (bottom row pair, top row pair) — the pair
+    # table pre-packs each texel with its wrap-adjacent right neighbor, so
+    # this touches half the rows of a four-corner gather, bit-identically
+    xi = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    idx2 = jnp.stack([off + y0i * w + xi, off + y1i * w + xi])
+    rows = stack.pairs[idx2]
+    c00, c10 = rows[0][..., 0:3], rows[0][..., 3:6]
+    c01, c11 = rows[1][..., 0:3], rows[1][..., 3:6]
     return ((c00 * (1 - tx) + c10 * tx) * (1 - ty)
             + (c01 * (1 - tx) + c11 * tx) * ty)
 

@@ -1,5 +1,12 @@
-"""Multi-chip sharding on the virtual 8-device CPU mesh: the sharded render
-must be bit-identical to the single-chip render (pixel-seeded RNG)."""
+"""Multi-chip sharding on the virtual 8-device CPU mesh.
+
+The sharded engine is the SAME engine (parallel/mesh.ShardedPathtracer
+overrides only Pathtracer._sample_dispatch): every band runs the identical
+tile-ordered / spp-batched / tail-narrowed render_sample. At matched band
+geometry the sharded luminance is BIT-identical to single-chip; the guiding
+cache differs only by partial-sum association (psum vs left-to-right band
+sum).
+"""
 import jax
 import numpy as np
 import pytest
@@ -9,7 +16,7 @@ from cuda_pathtracer_tpu.models.pathtracer import Pathtracer
 from cuda_pathtracer_tpu.core import camera as cam_mod
 from cuda_pathtracer_tpu.scene.scene import Scene, Material, GameObject, Plane
 
-W, H = 64, 48
+W, H = 64, 64
 
 
 def scene_for(reference_assets):
@@ -34,27 +41,49 @@ def cam():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
-def test_sharded_matches_single_chip(reference_assets):
+def test_sharded_matches_single_chip_bitwise(reference_assets):
     scene = scene_for(reference_assets)
-
-    single = Pathtracer(scene, W, H)
-    single.render(cam(), should_clear=True)
-    for _ in range(2):
-        single.render(cam(), should_clear=False)
 
     mesh = make_mesh(jax.devices()[:8])
     sharded = ShardedPathtracer(scene, W, H, mesh=mesh)
-    sharded.render(cam(), should_clear=True)
-    for _ in range(2):
-        sharded.render(cam(), should_clear=False)
 
+    # force the single-chip engine onto the sharded engine's band geometry:
+    # the per-band computation is then identical code with identical inputs
+    single = Pathtracer(scene, W, H)
+    single._set_bands(sharded.bands)
+    assert (single.bands, single.band_h, single.tile_order) == \
+        (sharded.bands, sharded.band_h, sharded.tile_order)
+    # the sharded engine runs the TUNED configuration, not a bare fallback
+    assert sharded.tile_order, 'sharded engine must keep tile-ordered lanes'
+
+    # clear pass + first converge sample: the guiding cache is still in its
+    # initial state on both engines, so the luminance must be BIT-identical
+    for pt in (single, sharded):
+        pt.render(cam(), should_clear=True)
+        pt.render(cam(), should_clear=False)
+        pt.finish()
     a = np.asarray(single.accumulators_pixel_order()[0])
-    b = np.asarray(sharded.lum)   # the sharded engine keeps pixel order
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
-    # the guiding cache is all-reduced and must agree too
+    b = np.asarray(sharded.accumulators_pixel_order()[0])
+    np.testing.assert_array_equal(a, b)   # BIT-identical luminance
+    assert single.sample_idx == sharded.sample_idx
+    assert int(single.rand_idx) == int(sharded.rand_idx)
+    # the guiding cache is all-reduced; only the partial-sum association
+    # differs (psum tree vs the band loop's left-to-right sum)
     np.testing.assert_allclose(np.asarray(single.radiance.cache),
                                np.asarray(sharded.radiance.cache),
                                rtol=1e-4, atol=1e-5)
+
+    # further samples FEED BACK the cache (guided sampling reads it), so a
+    # last-ulp cache difference may flip a CDF bucket for some lane: demand
+    # statistical agreement, not bit equality
+    for pt in (single, sharded):
+        pt.render(cam(), should_clear=False)
+        pt.finish()
+    a = np.asarray(single.accumulators_pixel_order()[0])
+    b = np.asarray(sharded.accumulators_pixel_order()[0])
+    np.testing.assert_array_equal(a[:, 3], b[:, 3])
+    ma, mb = a[:, :3].mean(), b[:, :3].mean()
+    assert abs(ma - mb) / ma < 0.02, (ma, mb)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason='needs multiple devices')
@@ -64,4 +93,20 @@ def test_sharded_runs_on_two_devices(reference_assets):
     pt = ShardedPathtracer(scene, W, H, mesh=mesh)
     pt.render(cam(), should_clear=True)
     pt.finish()
+    assert np.isfinite(np.asarray(pt.lum)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_sharded_spp_batching(reference_assets):
+    """The sharded engine accepts the spp-batched configuration too (the
+    whole tuned surface is shardable, not a reduced subset)."""
+    scene = scene_for(reference_assets)
+    mesh = make_mesh(jax.devices()[:8])
+    pt = ShardedPathtracer(scene, W, H, mesh=mesh, spp=2)
+    pt.render(cam(), should_clear=True)
+    pt.render(cam(), should_clear=False)   # one dispatch, 2 samples
+    pt.finish()
+    assert pt.sample_idx == scene.interactive_depth + 2
+    w = np.asarray(pt.lum[:, 3])
+    assert (w == w[0]).all() and w[0] == pt.sample_idx
     assert np.isfinite(np.asarray(pt.lum)).all()

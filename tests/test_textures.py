@@ -70,10 +70,14 @@ def _render_quad(tmp_path, reference_assets, with_normal=True, spp=4,
 def test_sample_bilinear_conventions():
     """Texel centers, bilinear midpoints and wrap addressing must match the
     CUDA texture-object semantics (normalized coords, sample at u*W-0.5)."""
-    texels = jnp.asarray(np.array(
+    img = np.array(
         [[0, 0, 0], [1, 1, 1],
-         [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]], np.float32))
-    stack = TextureStack(texels=texels,
+         [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]], np.float32)
+    texels = jnp.asarray(img)
+    pairs = np.concatenate(
+        [img.reshape(2, 2, 3), np.roll(img.reshape(2, 2, 3), -1, axis=1)],
+        axis=-1).reshape(-1, 6)
+    stack = TextureStack(texels=texels, pairs=jnp.asarray(pairs),
                          offset=jnp.asarray([0]), width=jnp.asarray([2]),
                          height=jnp.asarray([2]))
     tid = jnp.asarray([0])
