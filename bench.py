@@ -178,6 +178,59 @@ def main():
           f'{100*(t_blur-t_plain)/frame_t:.1f}% of an interactive frame '
           f'(reference: <=2%)', file=sys.stderr)
 
+    # ---- per-scene rows: the whole surface, not one number ----
+    if os.environ.get('BENCH_SCENES', '1') != '0':
+        for row in bench_scenes():
+            print('# ' + json.dumps(row), file=sys.stderr)
+
+
+def bench_scenes():
+    """Converge-rate rows for the other built-in scene families: the 2mtris
+    stress scene, minecraft with guiding + blurred display, and the
+    sponza.chai scripted scene."""
+    import jax
+    from cuda_pathtracer_tpu.scene.builder import get_scene
+    from cuda_pathtracer_tpu.models.pathtracer import Pathtracer
+    from cuda_pathtracer_tpu.core.camera import Camera
+
+    configs = [
+        ('2mtris', '2mtris', 1920, 1080, 2,
+         Camera.create([0, 6, -14], [0, -0.1, 1], 1.5, 10.0, 0.0), False),
+        ('minecraft+guiding+blur', 'minecraft', 640, 480, 6,
+         Camera.create([0, 6, -14], [0, -0.15, 1], 1.5, 10.0, 0.0), True),
+        ('sponza.chai', '/root/reference/sponza.chai', 640, 480, 6,
+         Camera.create([0, 4, -10], [0, -0.1, 1], 1.5, 8.0, 0.0), False),
+    ]
+    rows = []
+    for label, name, w, h, samples, cam_, blur in configs:
+        try:
+            scene = get_scene(name, asset_dirs=['/root/reference', '.'])
+            pt = Pathtracer(scene, w, h)
+            pt.render(cam_, should_clear=True)
+            pt.render(cam_, should_clear=False)   # warm the converge program
+            pt.finish()
+            r0 = float(pt.rays_traced)
+            t0 = time.perf_counter()
+            for _ in range(samples):
+                pt.render(cam_, should_clear=False)
+            r1 = float(pt.rays_traced)            # device sync
+            dt = time.perf_counter() - t0
+            img = np.asarray(pt.image(blur=blur))  # exercise the display path
+            total, has_nan, _ = pt.energy()
+            rows.append({
+                'metric': f'Mrays/s {label}',
+                'value': round((r1 - r0) / dt / 1e6, 3),
+                'unit': 'Mrays/s',
+                'resolution': f'{w}x{h}',
+                'samples': samples,
+                'energy_finite': bool(np.isfinite(total)) and not has_nan,
+                'img_mean': round(float(img.mean()), 4),
+            })
+        except Exception as e:   # a scene row must never kill the headline
+            rows.append({'metric': f'Mrays/s {label}', 'value': None,
+                         'error': f'{type(e).__name__}: {e}'[:200]})
+    return rows
+
 
 if __name__ == '__main__':
     main()

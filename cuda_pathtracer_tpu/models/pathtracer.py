@@ -154,6 +154,7 @@ def tile_permutation(width: int, height: int):
                                    'tile_order', 'spp', 'guide_off'))
 def render_sample(scene, dyn, camera, radiance: RadianceState,
                   lum, alb, sample_idx, rand_idx, guide_enabled,
+                  bn_lanes=None,
                   *, nee: bool, cache_on: bool, max_bounces: int,
                   width: int, height: int, full_height: int = 0,
                   row_offset=0, guide_axis: str | None = None,
@@ -218,8 +219,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         soff = jnp.uint32(0)
         samp = sample_idx
     # sorting only pays on the packet path (static shape-based decision)
-    from ..ops.dispatch import use_packet_path
-    do_sort = use_packet_path(dyn)
+    from ..ops.dispatch import use_sorted_packets
+    do_sort = use_sorted_packets(dyn)
 
     # generate primary rays (kernel_generate_primary_rays, kernels.h:493-501;
     # camera jitter uses the raw xorshift stream, types.h:641-658)
@@ -242,12 +243,16 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     def cond(c: _BounceCarry):
         return (c.bounce < max_bounces) & jnp.any(c.alive)
 
-    # blue-noise texture read is constant per pixel: gather once per sample,
-    # not once per bounce (shading.py falls back to the per-bounce gather
-    # when bn is None)
-    bnw = scene.blue_noise.shape[1]
-    bnh = scene.blue_noise.shape[0]
-    bn_all = scene.blue_noise[ys % bnh, xs % bnw]
+    # blue-noise texture read is constant per pixel: the caller can pass the
+    # per-lane values (hoisted to engine init — the 414k-lane 2D gather costs
+    # ~5 ms per band-sample, tools/tpu_op_profile.py); fall back to gathering
+    # here for direct callers
+    if bn_lanes is not None:
+        bn_all = (jnp.tile(bn_lanes, spp) if spp > 1 else bn_lanes)
+    else:
+        bnw = scene.blue_noise.shape[1]
+        bnh = scene.blue_noise.shape[0]
+        bn_all = scene.blue_noise[ys % bnh, xs % bnw]
 
     def _bounce_body(c: _BounceCarry, xs_l, ys_l, soff_l, samp_l, bn_l,
                      Bl: int):
@@ -569,11 +574,37 @@ class Pathtracer:
         self.band_h = self.height // bands
         self.tile_order = (self.width % 16 == 0) and (self.band_h % 8 == 0)
         self._inv_perm = None
+        self._bn_cache = None
         if self.tile_order:
             perm = tile_permutation(self.width, self.band_h)  # lane -> pixel
             full = _np.concatenate([perm + b * self.band_h * self.width
                                     for b in range(bands)])
             self._inv_perm = jnp.asarray(_np.argsort(full))
+
+    def _bn_bands(self):
+        """Per-band per-lane blue-noise values, hoisted out of render_sample
+        (the in-jit 2D gather costs ~5 ms per band-sample on TPU). Lane ->
+        pixel mapping mirrors render_sample's."""
+        if self._bn_cache is not None:
+            return self._bn_cache
+        import numpy as _np
+        bn = _np.asarray(self.arrays.blue_noise)
+        bh, bw = bn.shape[0], bn.shape[1]
+        W, bandh = self.width, self.band_h
+        bands = []
+        lanes = _np.arange(W * bandh)
+        for b in range(self.bands):
+            if self.tile_order:
+                tpr = W // 16
+                g, wl = lanes // 128, lanes % 128
+                xs = (g % tpr) * 16 + wl % 16
+                ys = (g // tpr) * 8 + wl // 16 + b * bandh
+            else:
+                xs = lanes % W
+                ys = lanes // W + b * bandh
+            bands.append(jnp.asarray(bn[ys % bh, xs % bw]))
+        self._bn_cache = bands
+        return bands
 
     def init(self):  # API parity with Application::Init
         pass
@@ -629,13 +660,14 @@ class Pathtracer:
         this method, sharding the same banded dispatch over its mesh — the
         per-band computation is identical."""
         from .guiding import propagate as guide_propagate
+        bn_bands = self._bn_bands()
         if self.bands == 1:
             self.lum, self.alb, self.radiance, ridx, rays = render_sample(
                 self.arrays, self.dyn, camera, self.radiance,
                 self.lum, self.alb,
                 jnp.asarray(self.sample_idx, jnp.uint32),
                 jnp.asarray(self.rand_idx, jnp.uint32),
-                guide,
+                guide, bn_bands[0],
                 nee=self.nee, cache_on=self.cache,
                 max_bounces=max_bounces,
                 width=self.width, height=self.height, wide_depth=wd,
@@ -655,7 +687,7 @@ class Pathtracer:
                 self.lum[sl], self.alb[sl],
                 jnp.asarray(self.sample_idx, jnp.uint32),
                 jnp.asarray(self.rand_idx, jnp.uint32),
-                guide,
+                guide, bn_bands[b],
                 nee=self.nee, cache_on=self.cache,
                 max_bounces=max_bounces,
                 width=self.width, height=self.band_h,

@@ -14,6 +14,7 @@ import jax
 from .traverse import traverse, Hit
 from .traverse_wide import traverse_wide
 from .traverse_packet import PacketTables, traverse_packet
+from .traverse_packet2 import MergedTable, traverse_packet2
 
 # beyond this many table rows (512 B each) the packet tables stop fitting
 # comfortably in VMEM alongside the pipeline buffers
@@ -25,6 +26,10 @@ PACKET_MAX_ROWS = 180_000
 # the packet engine path end-to-end in interpret mode at tiny resolutions.
 PACKET_MODE = 'auto'
 
+# the v2 multi-push kernel (ops/traverse_packet2.py) is the default when its
+# merged table is present; CPT_PACKET_V1=1 forces the v1 split-table kernel
+PACKET_V1 = bool(int(__import__('os').environ.get('CPT_PACKET_V1', '0')))
+
 
 def use_packet_path(dyn) -> bool:
     if PACKET_MODE == 'off':
@@ -35,17 +40,41 @@ def use_packet_path(dyn) -> bool:
     return PACKET_MODE == 'on' or jax.default_backend() != 'cpu'
 
 
+def use_packet2(dyn) -> bool:
+    return (PACKET_MODE != 'off' and not PACKET_V1
+            and int(dyn.packet_merged.shape[0]) > 1)
+
+
+def use_sorted_packets(dyn) -> bool:
+    """Coherence sorting pays on any packet path (v1 VMEM, v2 VMEM or
+    v2 HBM-DMA); mirrors trace()'s dispatch gating."""
+    interp = jax.default_backend() == 'cpu'
+    v2 = use_packet2(dyn) and (PACKET_MODE == 'on' or not interp)
+    return v2 or use_packet_path(dyn)
+
+
 def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
           any_hit: bool = False, stop_on_hit=None, wide_depth: int = 0,
           order=None) -> Hit:
     """`order` (optional i32[B] permutation) pre-sorts rays for packet
     coherence; results come back in the caller's original ray order."""
+    interp = jax.default_backend() == 'cpu'
+    if wide_depth > 0 and use_packet2(dyn) and (
+            PACKET_MODE == 'on' or not interp):
+        n_rows = int(dyn.packet_merged.shape[0])
+        # beyond the VMEM cap the table stays in HBM with per-visit DMA —
+        # the 2M-triangle class traverses on the same kernel
+        return traverse_packet2(
+            scene, MergedTable(dyn.packet_merged, wide_depth), ro, rd,
+            t_max=t_max, active=active, any_hit=any_hit,
+            stop_on_hit=stop_on_hit, order=order, interpret=interp,
+            hbm=n_rows > PACKET_MAX_ROWS)
     if wide_depth > 0 and use_packet_path(dyn):
         tables = PacketTables(dyn.packet_inner, dyn.packet_leaf, wide_depth)
         return traverse_packet(scene, tables, ro, rd, t_max=t_max,
                                active=active, any_hit=any_hit,
                                stop_on_hit=stop_on_hit, order=order,
-                               interpret=jax.default_backend() == 'cpu')
+                               interpret=interp)
     if wide_depth > 0:
         return traverse_wide(scene, dyn.wide_rows, wide_depth, ro, rd,
                              t_max=t_max, active=active, any_hit=any_hit,

@@ -62,7 +62,18 @@ class MergedTable(NamedTuple):
     depth: int
 
 
-def build_merged_table(wide_rows: np.ndarray, depth: int) -> MergedTable:
+class MergedAux(NamedTuple):
+    """Static topology info for refit (accel/refit.py): where each wide row
+    landed and how inner slots were permuted."""
+    row_map: np.ndarray      # i32[N_wide] old wide row -> merged row (-1 root
+                             #   of empty scenes)
+    is_leaf: np.ndarray      # bool[N_merged]
+    slot_order: np.ndarray   # i32[N_merged, 16] new slot -> old slot (inner
+                             #   rows; identity elsewhere)
+
+
+def build_merged_table(wide_rows: np.ndarray, depth: int,
+                       with_aux: bool = False):
     """Derive the merged contiguous-children table from the unified wide
     table (accel/wide.py layout). BFS order guarantees every node's children
     are contiguous; slots are permuted inner-first (box fields permuted
@@ -83,16 +94,29 @@ def build_merged_table(wide_rows: np.ndarray, depth: int) -> MergedTable:
         if n and tag[0] < 0:
             rows[1, PTRIS:PTRIS + 9 * LEAF_MAX] = _leaf_payload(src[0])
             rows[1, PGIDS:PGIDS + LEAF_MAX] = src[0, LEAF_GIDS:LEAF_GID_MAX]
-        return MergedTable(jnp.asarray(rows), depth)
+        table = MergedTable(jnp.asarray(rows), depth)
+        if not with_aux:
+            return table
+        row_map = np.full(max(n, 1), -1, np.int32)
+        if n:
+            row_map[0] = 1
+        aux = MergedAux(row_map,
+                        np.array([False, True]),
+                        np.tile(np.arange(ARITY, dtype=np.int32), (2, 1)))
+        return table, aux
 
     assert tag[0] > 0, 'wide root must be an inner row'
     refs_all = src[:, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
     nch_all = src[:, 0].astype(np.int32)
 
     new_rows = []
+    row_map = np.full(n, -1, np.int32)
+    orders = []                      # per new row: slot order (inner rows)
     # BFS: process inner nodes in assignment order; each processed node
     # appends its whole child block contiguously
     new_rows.append(None)            # placeholder for root
+    orders.append(None)
+    row_map[0] = 0
     queue = [(0, 0)]                 # (old_id, new_id)
     qi = 0
     while qi < len(queue):
@@ -117,11 +141,14 @@ def build_merged_table(wide_rows: np.ndarray, depth: int) -> MergedTable:
         row[PMETA] = np.int32(base | (n_inner << META_BASE_BITS)).view(
             np.float32)
         new_rows[new] = row
+        orders[new] = order
         # allocate children
         for j, k in enumerate(order):
             child_old = int(refs[k])
+            row_map[child_old] = base + j
             if tag[child_old] > 0:
                 new_rows.append(None)
+                orders.append(None)
                 queue.append((child_old, base + j))
             else:
                 # leaf row: copy the leaf payload into merged layout
@@ -130,8 +157,19 @@ def build_merged_table(wide_rows: np.ndarray, depth: int) -> MergedTable:
                 lrow[PGIDS:PGIDS + LEAF_MAX] = src[child_old,
                                                    LEAF_GIDS:LEAF_GID_MAX]
                 new_rows.append(lrow)
+                orders.append(None)
     rows = np.stack([r for r in new_rows])
-    return MergedTable(jnp.asarray(rows), depth)
+    table = MergedTable(jnp.asarray(rows), depth)
+    if not with_aux:
+        return table
+    nm = len(new_rows)
+    is_leaf = np.array([o is None for o in orders])
+    is_leaf[0] = False
+    slot_order = np.tile(np.arange(ARITY, dtype=np.int32), (nm, 1))
+    for i, o in enumerate(orders):
+        if o is not None:
+            slot_order[i, :len(o)] = o
+    return table, MergedAux(row_map, is_leaf, slot_order)
 
 
 def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
@@ -142,15 +180,38 @@ def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
     return pk.reshape(-1)
 
 
-def _kernel(npk: int, d: int, ppc: int):
+def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
+    """hbm=False: the whole merged table is VMEM-resident, rows sliced
+    directly. hbm=True: the table stays in HBM (scenes beyond the VMEM cap,
+    e.g. the 2M-triangle stress scene) and each packet's next row is DMA'd
+    into a per-packet VMEM slot — the copy is issued right after the scalar
+    decision and waited one loop iteration later, so the other interleaved
+    packets' vector work hides part of the ~1 us HBM latency."""
     S = d + 3
 
     def kernel(tab_ref, rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
-               dec_s):
+               dec_s, *dma):
+        row_s, sem = (dma[0], dma[1]) if hbm else (None, None)
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
         iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
         rays = rays_ref[:]
+
+        def row_index(cur):
+            return jnp.where(cur == DONE, 0,
+                             jnp.where(cur < 0, ~cur, cur))
+
+        def start_fetch(p, cur):
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(row_index(cur), 1)],
+                row_s.at[pl.ds(p, 1)],
+                sem.at[p]).start()
+
+        def wait_fetch(p):
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(0, 1)],
+                row_s.at[pl.ds(p, 1)],
+                sem.at[p]).wait()
 
         def visit(rb, p, cur):
             """Vector work for packet p at node cur (>=0 inner, <0 leaf via
@@ -170,7 +231,9 @@ def _kernel(npk: int, d: int, ppc: int):
 
             @pl.when(alive & is_leaf)
             def _leaf():
-                rowL = jnp.transpose(tab_ref[pl.ds(~cur, 1), :])   # (128,1)
+                rowL = jnp.transpose(
+                    row_s[pl.ds(p, 1), :] if hbm
+                    else tab_ref[pl.ds(~cur, 1), :])               # (128,1)
                 t = t_s[p:p + 1, :]
                 best = gid_s[p:p + 1, :]
                 found = fnd_s[p:p + 1, :] != 0
@@ -212,7 +275,9 @@ def _kernel(npk: int, d: int, ppc: int):
 
             @pl.when(alive & ~is_leaf)
             def _inner():
-                rowT = jnp.transpose(tab_ref[pl.ds(cur, 1), :])    # (128,1)
+                rowT = jnp.transpose(
+                    row_s[pl.ds(p, 1), :] if hbm
+                    else tab_ref[pl.ds(cur, 1), :])                # (128,1)
                 t = t_s[p:p + 1, :]
                 found = fnd_s[p:p + 1, :] != 0
                 t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
@@ -242,23 +307,23 @@ def _kernel(npk: int, d: int, ppc: int):
                     jnp.where(iota128 == PMETA, rowTi, 0))         # meta
 
         def scalar_packet(p, cur, sp):
-            """Advance packet p: integrate a fresh inner decision, then pull
-            the next child from the stack top (bit-unspooling)."""
+            """Advance packet p: consume a fresh inner decision from
+            registers, or pull the next child from the stack top
+            (bit-unspooling). No same-step SMEM read-after-write: the fresh
+            path never touches the stack before deciding, and stack reads
+            only see entries written in earlier steps."""
             was_inner = (cur != DONE) & (cur >= 0)
             bits_new = jnp.where(was_inner, dec_s[p, 0], 0)
             meta_new = dec_s[p, 1]
-            do_push = (bits_new != 0) & (sp < S)
+            fresh = bits_new != 0
 
-            @pl.when(do_push)
-            def _():
-                stk_b[p, sp] = bits_new
-                stk_m[p, sp] = meta_new
-            sp = jnp.where(do_push, sp + 1, sp)
-
-            has = sp > 0
-            top = jnp.where(has, sp - 1, 0)
-            bits = stk_b[p, top]
-            meta = stk_m[p, top]
+            top = jnp.where(sp > 0, sp - 1, 0)
+            bits_old = stk_b[p, top]
+            meta_old = stk_m[p, top]
+            use_old = (~fresh) & (sp > 0)
+            bits = jnp.where(fresh, bits_new,
+                             jnp.where(use_old, bits_old, 0))
+            meta = jnp.where(fresh, meta_new, meta_old)
             low = bits & (-bits)
             # index of the isolated bit: 4 mask tests (scalar bitcast does
             # not lower in Mosaic, so no f32-exponent trick)
@@ -270,15 +335,23 @@ def _kernel(npk: int, d: int, ppc: int):
             n_inner = meta >> META_BASE_BITS
             child = base + j
             child_leaf = j >= n_inner
-            nxt = jnp.where(has & (low != 0),
+            nxt = jnp.where(low != 0,
                             jnp.where(child_leaf, ~child, child), DONE)
             bits2 = bits ^ low
 
-            @pl.when(has)
+            push_rest = fresh & (bits2 != 0) & (sp < S)
+
+            @pl.when(push_rest)
+            def _():
+                stk_b[p, sp] = bits2
+                stk_m[p, sp] = meta_new
+
+            @pl.when(use_old)
             def _():
                 stk_b[p, top] = bits2
-            sp = jnp.where(has & (bits2 == 0), top, sp)
-            return nxt.astype(jnp.int32), sp.astype(jnp.int32)
+            sp2 = jnp.where(push_rest, sp + 1,
+                            jnp.where(use_old & (bits2 == 0), top, sp))
+            return nxt.astype(jnp.int32), sp2.astype(jnp.int32)
 
         def run_set(c):
             base = c * npk
@@ -293,10 +366,15 @@ def _kernel(npk: int, d: int, ppc: int):
 
             def body(carry):
                 curs, sps = carry
+                out = []
                 for p in range(npk):
+                    if hbm:
+                        wait_fetch(p)
                     visit((base + p) * RAY_ROWS, p, curs[p])
-                out = [scalar_packet(p, curs[p], sps[p])
-                       for p in range(npk)]
+                    r = scalar_packet(p, curs[p], sps[p])
+                    if hbm:
+                        start_fetch(p, r[0])
+                    out.append(r)
                 return (tuple(r[0] for r in out), tuple(r[1] for r in out))
 
             for p in range(npk):
@@ -310,9 +388,17 @@ def _kernel(npk: int, d: int, ppc: int):
                 any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
                                    .astype(jnp.int32))
                 starts.append(jnp.where(any_live > 0, jnp.int32(0), DONE))
+            if hbm:
+                for p in range(npk):
+                    start_fetch(p, starts[p])
             init = (tuple(starts), tuple(jnp.int32(0) for _ in range(npk)))
             fin = jax.lax.while_loop(cond, body, init)
             del fin
+            if hbm:
+                # drain the copies issued by the final iteration (or the
+                # init issues when the loop ran zero times)
+                for p in range(npk):
+                    wait_fetch(p)
             for p in range(npk):
                 o = 4 * (base + p)
                 t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
@@ -326,8 +412,9 @@ def _kernel(npk: int, d: int, ppc: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=('depth', 'interpret'))
-def _run_packets2(tab, rays, *, depth: int, interpret: bool):
+@partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm'))
+def _run_packets2(tab, rays, *, depth: int, interpret: bool,
+                  hbm: bool = False):
     gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     d = depth + 2
     S = d + 3
@@ -335,7 +422,8 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool):
                            memory_space=pltpu.VMEM)
     outspec = pl.BlockSpec((PPC * NPK * 4, PACKET), lambda g: (g, 0),
                            memory_space=pltpu.VMEM)
-    tabspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec(
+        memory_space=pltpu.ANY if hbm else pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
                                      jnp.float32)
     scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
@@ -344,8 +432,11 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool):
                pltpu.VMEM((NPK, PACKET), jnp.int32),
                pltpu.VMEM((NPK, PACKET), jnp.int32),
                pltpu.SMEM((NPK, 2), jnp.int32)]
+    if hbm:
+        scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((NPK,))]
     return pl.pallas_call(
-        _kernel(NPK, d, PPC),
+        _kernel(NPK, d, PPC, hbm),
         grid=(gn,),
         out_shape=out_shape,
         in_specs=[tabspec, rayspec],
@@ -359,8 +450,11 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool):
 
 def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
                      active=None, any_hit: bool = False, stop_on_hit=None,
-                     order=None, interpret: bool = False) -> Hit:
-    """Contract-compatible with traverse_packet (same Hit, same prepass)."""
+                     order=None, interpret: bool = False,
+                     hbm: bool = False) -> Hit:
+    """Contract-compatible with traverse_packet (same Hit, same prepass).
+    hbm=True keeps the node table HBM-resident with per-visit DMA — the
+    large-scene path (see _kernel)."""
     from . import intersect as isect
     B = ro.shape[0]
     if t_max is None:
@@ -389,7 +483,7 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     rays = rays.reshape(-1, PACKET)
 
     outk = _run_packets2(table.rows, rays, depth=table.depth,
-                         interpret=interpret)
+                         interpret=interpret, hbm=hbm)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
     if order is not None:

@@ -72,7 +72,7 @@ class ShardedPathtracer(Pathtracer):
         tile_order = self.tile_order
 
         def per_shard(scene, dyn, camera, radiance, lum_b, alb_b,
-                      sample_idx, rand_idx, guide, row0_b):
+                      sample_idx, rand_idx, guide, row0_b, bn_b):
             # lum_b: [per_dev, band_len, 4] — this device's bands, identical
             # math to the single-chip band loop body
             lums, albs = [], []
@@ -82,7 +82,7 @@ class ShardedPathtracer(Pathtracer):
             for j in range(per_dev):
                 lum_j, alb_j, (s_b, c_b), ridx_j, rays_j = render_sample(
                     scene, dyn, camera, radiance, lum_b[j], alb_b[j],
-                    sample_idx, rand_idx, guide,
+                    sample_idx, rand_idx, guide, bn_b[j],
                     nee=nee, cache_on=cache_on, max_bounces=max_bounces,
                     width=W, height=band_h, full_height=H,
                     row_offset=row0_b[j], wide_depth=wd, defer_guide=True,
@@ -105,11 +105,12 @@ class ShardedPathtracer(Pathtracer):
         sharded = jax.shard_map(
             per_shard, mesh=self.mesh,
             in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P(), P(),
-                      P(axis)),
+                      P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(), P(), P()),
             check_vma=False)
 
         row0 = jnp.arange(self.bands, dtype=jnp.int32) * band_h
+        bn_stack = jnp.stack(self._bn_bands())
 
         @jax.jit
         def run(scene, dyn, camera, radiance, lum, alb,
@@ -118,7 +119,7 @@ class ShardedPathtracer(Pathtracer):
             lum_s = lum.reshape(self.bands, bl, 4)
             alb_s = alb.reshape(self.bands, bl, 4)
             out = sharded(scene, dyn, camera, radiance, lum_s, alb_s,
-                          sample_idx, rand_idx, guide, row0)
+                          sample_idx, rand_idx, guide, row0, bn_stack)
             lum2, alb2, radiance2, ridx, rays = out
             return (lum2.reshape(-1, 4), alb2.reshape(-1, 4), radiance2,
                     ridx, rays)

@@ -106,9 +106,12 @@ class DynamicArrays(NamedTuple):
                                  #   (< 2^24; f32 rows gather ~3.5x faster
                                  #   than s32 rows on TPU)
     # split packet tables (ops/traverse_packet.py) derived from wide_rows —
-    # the Pallas VMEM-resident traversal path; [0, 128] disables it
+    # the v1 Pallas VMEM-resident traversal path; [0, 128] disables it
     packet_inner: jnp.ndarray    # f32[NI, 128]
     packet_leaf: jnp.ndarray     # f32[NL, 128]
+    # merged contiguous-children table (ops/traverse_packet2.py) — the v2
+    # multi-push kernel's table; [0, 128] disables it (falls back to v1)
+    packet_merged: jnp.ndarray   # f32[NM, 128]
     # world bounds for morton ray-sort keys, f32[2, 3] (min | extent)
     bounds: jnp.ndarray
 

@@ -572,6 +572,11 @@ class Scene:
             self.wide_depth = ww.depth
             ptab = split_packet_tables(ww.rows, ww.depth)
             packet_inner, packet_leaf = ptab.inner, ptab.leaf
+            from ..ops.traverse_packet2 import build_merged_table
+            if len(ww.rows) < (1 << 20):   # the 20-bit child-base ceiling
+                packet_merged = build_merged_table(ww.rows, ww.depth).rows
+            else:
+                packet_merged = jnp.zeros((0, 128), jnp.float32)
             bounds = np.stack([wb.vmin[0], np.maximum(wb.vmax[0] - wb.vmin[0],
                                                       1e-6)])
             # capture the model-space templates so later move-only
@@ -586,6 +591,7 @@ class Scene:
             self.wide_depth = 0
             packet_inner = jnp.zeros((0, 128), jnp.float32)
             packet_leaf = jnp.zeros((0, 128), jnp.float32)
+            packet_merged = jnp.zeros((0, 128), jnp.float32)
             bounds = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
             self._refit_templates = None
             self._refit_key = None
@@ -613,7 +619,7 @@ class Scene:
                             jnp.asarray(light_packed),
                             jnp.asarray(inst_packed),
                             jnp.asarray(tri_meta),
-                            packet_inner, packet_leaf,
+                            packet_inner, packet_leaf, packet_merged,
                             jnp.asarray(bounds, jnp.float32))
         self._dyn_cache = (self._version, dyn)
         self._full_dyn = dyn
@@ -691,4 +697,8 @@ class Scene:
             light_packed=jnp.asarray(light_packed),
             inst_packed=jnp.asarray(self._inst_packed(transforms, overrides)),
             packet_inner=inner, packet_leaf=leaf,
+            # move-only refits keep the v1 split tables hot; the v2 merged
+            # table would hold stale boxes, so it is disabled until the next
+            # full rebuild (animated scenes traverse on the v1 kernel)
+            packet_merged=jnp.zeros((0, 128), jnp.float32),
             bounds=jnp.asarray(bounds, jnp.float32))

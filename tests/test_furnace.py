@@ -28,9 +28,13 @@ def test_white_furnace(reference_assets, albedo):
     scene.finalize()
 
     pt = Pathtracer(scene, 48, 32)
-    # uniform environment: L = 1 everywhere (replace the loaded skydome)
+    # uniform environment: L = 1 everywhere (replace the loaded skydome —
+    # both the raw image and the pair table the shader actually samples)
+    from cuda_pathtracer_tpu.models.sky import build_sky_pairs
+    uniform = np.ones((8, 16, 3), np.float32)
     pt.arrays = pt.arrays._replace(
-        sky_img=jnp.ones((8, 16, 3), jnp.float32))
+        sky_img=jnp.asarray(uniform),
+        sky_pairs=jnp.asarray(build_sky_pairs(uniform)))
     pt.nee = False          # no lights; pure hemisphere transport
     pt.cache = False
     cam = Camera.create([0, 1.5, -6], [0, 0, 1], 1.5, 6, 0.0)
