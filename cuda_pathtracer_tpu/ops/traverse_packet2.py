@@ -109,67 +109,122 @@ def build_merged_table(wide_rows: np.ndarray, depth: int,
     refs_all = src[:, INNER_REFS:INNER_REFS + ARITY].view(np.int32)
     nch_all = src[:, 0].astype(np.int32)
 
-    new_rows = []
+    # Level-synchronous BFS, fully vectorized (every non-root wide row is
+    # someone's child exactly once, so the merged table has exactly n rows).
+    rows = np.zeros((n, 128), np.float32)
     row_map = np.full(n, -1, np.int32)
-    orders = []                      # per new row: slot order (inner rows)
-    # BFS: process inner nodes in assignment order; each processed node
-    # appends its whole child block contiguously
-    new_rows.append(None)            # placeholder for root
-    orders.append(None)
+    is_leaf_m = np.zeros(n, bool)
+    slot_order_m = np.tile(np.arange(ARITY, dtype=np.int32), (n, 1))
+
+    iota = np.arange(ARITY, dtype=np.int32)
+    frontier_old = np.array([0], np.int32)       # old ids, new-id order
+    frontier_new = np.array([0], np.int32)
     row_map[0] = 0
-    queue = [(0, 0)]                 # (old_id, new_id)
-    qi = 0
-    while qi < len(queue):
-        old, new = queue[qi]
-        qi += 1
-        nch = int(nch_all[old])
-        refs = refs_all[old, :nch]
-        inner_slots = [k for k in range(nch) if tag[refs[k]] > 0]
-        leaf_slots = [k for k in range(nch) if tag[refs[k]] <= 0]
-        order = inner_slots + leaf_slots
-        base = len(new_rows)
-        n_inner = len(inner_slots)
-        assert base < (1 << META_BASE_BITS), \
+    next_free = 1
+    while len(frontier_old):
+        refs = refs_all[frontier_old]                        # [F, 16]
+        nch = nch_all[frontier_old]                          # [F]
+        valid = iota[None, :] < nch[:, None]
+        ctag = tag[np.clip(refs, 0, n - 1)]
+        inner_c = valid & (ctag > 0)
+        # slot order: inner children first (stable), then leaves, then empty
+        key = np.where(inner_c, 0, np.where(valid, 1, 2))
+        order = np.argsort(key, axis=1, kind='stable').astype(np.int32)
+        n_inner = inner_c.sum(1).astype(np.int32)
+        sizes = nch.astype(np.int64)
+        bases = next_free + np.concatenate(
+            [[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        next_free = int(next_free + sizes.sum())
+        assert next_free <= (1 << META_BASE_BITS), \
             'merged table exceeds the 20-bit child base (scene too large ' \
             'for the packet path)'
-        # permuted boxes for the parent row
-        box = src[old, INNER_BOX0:INNER_BOX0 + 96].reshape(6, ARITY)
-        newbox = np.full((6, ARITY), np.nan, np.float32)
-        newbox[:, :nch] = box[:, order]
-        row = np.zeros(128, np.float32)
-        row[PBOX0:PBOX0 + 96] = newbox.reshape(-1)
-        row[PMETA] = np.int32(base | (n_inner << META_BASE_BITS)).view(
-            np.float32)
-        new_rows[new] = row
-        orders[new] = order
-        # allocate children
-        for j, k in enumerate(order):
-            child_old = int(refs[k])
-            row_map[child_old] = base + j
-            if tag[child_old] > 0:
-                new_rows.append(None)
-                orders.append(None)
-                queue.append((child_old, base + j))
-            else:
-                # leaf row: copy the leaf payload into merged layout
-                lrow = np.zeros(128, np.float32)
-                lrow[PTRIS:PTRIS + 9 * LEAF_MAX] = _leaf_payload(src[child_old])
-                lrow[PGIDS:PGIDS + LEAF_MAX] = src[child_old,
+        ordered_refs = np.take_along_axis(refs, order, axis=1)
+        ordered_valid = np.take_along_axis(valid, order, axis=1)
+        # parent rows: permuted boxes (empty slots NaN) + meta
+        box = src[frontier_old, INNER_BOX0:INNER_BOX0 + 96].reshape(
+            -1, 6, ARITY)
+        newbox = np.take_along_axis(box, order[:, None, :], axis=2).copy()
+        newbox[np.broadcast_to((~ordered_valid)[:, None, :],
+                               newbox.shape)] = np.nan
+        rows[frontier_new, PBOX0:PBOX0 + 96] = newbox.reshape(-1, 96)
+        metas = (bases.astype(np.int32)
+                 | (n_inner << META_BASE_BITS)).view(np.float32)
+        rows[frontier_new, PMETA] = metas
+        slot_order_m[frontier_new] = order
+        # children: new ids in row-major (f, slot) order == allocation order
+        child_old = ordered_refs[ordered_valid]
+        child_new = (bases[:, None] + iota[None, :].astype(np.int64))[
+            ordered_valid].astype(np.int32)
+        row_map[child_old] = child_new
+        child_is_inner = tag[child_old] > 0
+        # leaf children rows (vectorized payload)
+        lo = child_old[~child_is_inner]
+        ln = child_new[~child_is_inner]
+        if len(lo):
+            fm = src[lo, LEAF_TRIS:LEAF_TRIS + 9 * LEAF_MAX].reshape(
+                -1, 3, 3, LEAF_MAX)
+            pk = np.concatenate([fm[:, 0], fm[:, 1] - fm[:, 0],
+                                 fm[:, 2] - fm[:, 0]], axis=1)
+            rows[ln, PTRIS:PTRIS + 9 * LEAF_MAX] = pk.reshape(len(lo), -1)
+            rows[ln, PGIDS:PGIDS + LEAF_MAX] = src[lo,
                                                    LEAF_GIDS:LEAF_GID_MAX]
-                new_rows.append(lrow)
-                orders.append(None)
-    rows = np.stack([r for r in new_rows])
+            is_leaf_m[ln] = True
+        frontier_old = child_old[child_is_inner]
+        frontier_new = child_new[child_is_inner]
+    assert next_free == n, (next_free, n)
     table = MergedTable(jnp.asarray(rows), depth)
     if not with_aux:
         return table
-    nm = len(new_rows)
-    is_leaf = np.array([o is None for o in orders])
-    is_leaf[0] = False
-    slot_order = np.tile(np.arange(ARITY, dtype=np.int32), (nm, 1))
-    for i, o in enumerate(orders):
-        if o is not None:
-            slot_order[i, :len(o)] = o
-    return table, MergedAux(row_map, is_leaf, slot_order)
+    return table, MergedAux(row_map, is_leaf_m, slot_order_m)
+
+
+class MergedRefitMaps(NamedTuple):
+    """Static per-topology maps for deriving the merged table from the
+    refitted v1 split tables on device (accel/refit integration)."""
+    from_inner: jnp.ndarray   # i32[NM] v1 inner row (clamped junk if leaf)
+    from_leaf: jnp.ndarray    # i32[NM] v1 leaf row (clamped junk if inner)
+    is_leaf: jnp.ndarray      # bool[NM]
+    slot_order: jnp.ndarray   # i32[NM, 16]
+    meta: jnp.ndarray         # f32[NM] static meta word (bitcast int)
+
+
+def build_refit_maps(wide_rows: np.ndarray, depth: int) -> MergedRefitMaps:
+    """Compose the merged BFS mapping with the v1 split-table mapping."""
+    src = np.asarray(wide_rows, np.float32)
+    tag = src[:, 0]
+    inner_ids = np.flatnonzero(tag > 0)
+    leaf_ids = np.flatnonzero(tag < 0)
+    inner_pos = np.full(len(src), 0, np.int32)
+    inner_pos[inner_ids] = np.arange(len(inner_ids), dtype=np.int32)
+    leaf_pos = np.full(len(src), 0, np.int32)
+    leaf_pos[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+
+    table, aux = build_merged_table(src, depth, with_aux=True)
+    nm = int(table.rows.shape[0])
+    old_of = np.zeros(nm, np.int32)
+    old_of[aux.row_map] = np.arange(len(aux.row_map), dtype=np.int32)
+    meta = np.asarray(table.rows)[:, PMETA].copy()
+    return MergedRefitMaps(
+        from_inner=jnp.asarray(inner_pos[old_of]),
+        from_leaf=jnp.asarray(leaf_pos[old_of]),
+        is_leaf=jnp.asarray(aux.is_leaf),
+        slot_order=jnp.asarray(aux.slot_order),
+        meta=jnp.asarray(meta))
+
+
+@jax.jit
+def derive_merged(inner_rows, leaf_rows, maps: MergedRefitMaps):
+    """Rebuild the merged table from refitted v1 split tables (pure device
+    gathers + a static column permutation; topology is frozen)."""
+    nm = maps.is_leaf.shape[0]
+    gi = inner_rows[jnp.clip(maps.from_inner, 0, inner_rows.shape[0] - 1)]
+    boxes = gi[:, :96].reshape(nm, 6, ARITY)
+    boxes = jnp.take_along_axis(
+        boxes, maps.slot_order[:, None, :], axis=2).reshape(nm, 96)
+    pad = jnp.zeros((nm, 128 - 97), jnp.float32)
+    inner_m = jnp.concatenate([boxes, maps.meta[:, None], pad], axis=1)
+    gl = leaf_rows[jnp.clip(maps.from_leaf, 0, leaf_rows.shape[0] - 1)]
+    return jnp.where(maps.is_leaf[:, None], gl, inner_m)
 
 
 def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:

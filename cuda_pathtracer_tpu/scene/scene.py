@@ -124,6 +124,7 @@ class Scene:
         self._version = 0          # bumped whenever dynamic state changes
         self._dyn_cache = None     # (version, DynamicArrays)
         self._refit_templates = None   # accel/refit.py model-space tables
+        self._merged_maps = None   # traverse_packet2 refit maps
         self._refit_key = None
         self._full_dyn = None
 
@@ -572,11 +573,16 @@ class Scene:
             self.wide_depth = ww.depth
             ptab = split_packet_tables(ww.rows, ww.depth)
             packet_inner, packet_leaf = ptab.inner, ptab.leaf
-            from ..ops.traverse_packet2 import build_merged_table
+            from ..ops.traverse_packet2 import (build_merged_table,
+                                                build_refit_maps)
             if len(ww.rows) < (1 << 20):   # the 20-bit child-base ceiling
                 packet_merged = build_merged_table(ww.rows, ww.depth).rows
+                # static maps so device refits can re-derive the merged
+                # table from the refitted split tables
+                self._merged_maps = build_refit_maps(ww.rows, ww.depth)
             else:
                 packet_merged = jnp.zeros((0, 128), jnp.float32)
+                self._merged_maps = None
             bounds = np.stack([wb.vmin[0], np.maximum(wb.vmax[0] - wb.vmin[0],
                                                       1e-6)])
             # capture the model-space templates so later move-only
@@ -670,6 +676,7 @@ class Scene:
         everything else transformed on device (accel/refit.py)."""
         from ..accel import refit as _refit
         from ..core import transforms as _tf
+        from ..ops import traverse_packet2 as _tp2
         transforms, inverses, overrides = self.instances()
         inst_boxes = np.empty((len(self.objects), 6), np.float32)
         for i, o in enumerate(self.objects):
@@ -697,8 +704,10 @@ class Scene:
             light_packed=jnp.asarray(light_packed),
             inst_packed=jnp.asarray(self._inst_packed(transforms, overrides)),
             packet_inner=inner, packet_leaf=leaf,
-            # move-only refits keep the v1 split tables hot; the v2 merged
-            # table would hold stale boxes, so it is disabled until the next
-            # full rebuild (animated scenes traverse on the v1 kernel)
-            packet_merged=jnp.zeros((0, 128), jnp.float32),
+            # the merged v2 table is re-derived on device from the refitted
+            # split tables via static topology maps (pure gathers + a column
+            # permutation) — animated scenes keep the v2 kernel
+            packet_merged=(_tp2.derive_merged(inner, leaf, self._merged_maps)
+                           if self._merged_maps is not None
+                           else jnp.zeros((0, 128), jnp.float32)),
             bounds=jnp.asarray(bounds, jnp.float32))

@@ -30,6 +30,14 @@ def _compare_dyns(a, b, atol=2e-4):
     np.testing.assert_allclose(pi_a[m], pi_b[m], atol=atol)
     np.testing.assert_allclose(np.asarray(a.light_packed),
                                np.asarray(b.light_packed), atol=atol)
+    # the v2 merged table must ride through the refit too (device-derived
+    # from the refitted split tables via static maps)
+    pm_a = np.asarray(a.packet_merged)
+    pm_b = np.asarray(b.packet_merged)
+    assert pm_a.shape == pm_b.shape and pm_a.shape[0] > 1
+    np.testing.assert_array_equal(np.isnan(pm_a), np.isnan(pm_b))
+    mm = ~np.isnan(pm_a)
+    np.testing.assert_allclose(pm_a[mm], pm_b[mm], atol=atol)
 
 
 def test_refit_matches_full_rebuild(reference_assets):
