@@ -367,19 +367,34 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                   c_stype=final.cache.stype, c_tri=final.cache.tri,
                   c_bucket=final.cache.bucket, c_cum=final.cache.cum_mask)
 
-        for start_b, end_b, C in levels:
+        RAY_KEYS = ('ro', 'rd', 'mask', 'from_specular', 'albedo_set')
+        for li, (start_b, end_b, C) in enumerate(levels):
             tf['pending'] = tf['alive']
+            # The ray-state keys are read only at compaction time (pending
+            # lanes' values are never modified by earlier rounds — a lane
+            # runs at most once per level) and by the NEXT level's
+            # compaction of survivors. On the LAST level nothing downstream
+            # reads them, so they leave the while carry (become closure
+            # constants) and their [L,3] scatter-backs disappear —
+            # bit-identical, ~15 ms/band-sample (tools/tpu_op_profile.py).
+            last_level = li == len(levels) - 1
+            if last_level:
+                ray_static = {k: tf.pop(k) for k in RAY_KEYS}
+            else:
+                ray_static = None
 
-            def tail_round(tc, start_b=start_b, end_b=end_b, C=C):
+            def tail_round(tc, start_b=start_b, end_b=end_b, C=C,
+                           ray_static=ray_static):
+                rs = ray_static if ray_static is not None else tc
                 # compact: pending lanes first (stable -> lane order)
                 order = jnp.argsort(~tc['pending'], stable=True)
                 sel = order[:C]
                 sub = dict(
-                    ro=tc['ro'][sel], rd=tc['rd'][sel],
-                    mask=tc['mask'][sel],
+                    ro=rs['ro'][sel], rd=rs['rd'][sel],
+                    mask=rs['mask'][sel],
                     accucolor=tc['accucolor'][sel],
-                    from_specular=tc['from_specular'][sel],
-                    albedo_set=tc['albedo_set'][sel],
+                    from_specular=rs['from_specular'][sel],
+                    albedo_set=rs['albedo_set'][sel],
                     alive=tc['pending'][sel],
                     xs=xs[sel], ys=ys[sel], bn=bn_all[sel],
                     soff=soff[sel] if spp > 1 else soff,
@@ -424,13 +439,6 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                 out = dict(
                     pending=tc['pending'].at[sel].set(False),
                     alive=tc['alive'].at[sel].set(sf.alive),
-                    ro=tc['ro'].at[sel].set(sf.ro),
-                    rd=tc['rd'].at[sel].set(sf.rd),
-                    mask=tc['mask'].at[sel].set(sf.state.mask),
-                    from_specular=tc['from_specular'].at[sel].set(
-                        sf.state.from_specular),
-                    albedo_set=tc['albedo_set'].at[sel].set(
-                        sf.state.albedo_set),
                     accucolor=tc['accucolor'].at[sel].set(sf.state.accucolor),
                     albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
                     albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
@@ -438,6 +446,15 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     rays=tc['rays'] + sf.rays_traced,
                     c_stype=tc['c_stype'], c_tri=tc['c_tri'],
                     c_bucket=tc['c_bucket'], c_cum=tc['c_cum'])
+                if ray_static is None:
+                    out.update(
+                        ro=tc['ro'].at[sel].set(sf.ro),
+                        rd=tc['rd'].at[sel].set(sf.rd),
+                        mask=tc['mask'].at[sel].set(sf.state.mask),
+                        from_specular=tc['from_specular'].at[sel].set(
+                            sf.state.from_specular),
+                        albedo_set=tc['albedo_set'].at[sel].set(
+                            sf.state.albedo_set))
                 if carry_cache:
                     # rounds after the first pad `sel` with already-completed
                     # lanes (pending=False); their replayed bounces would

@@ -606,12 +606,16 @@ class Scene:
         if self.objects:
             # stored as float VALUES (< 2^24 exact), not int: f32 rows get
             # the gather-friendly layout on TPU (a same-shape s32 gather
-            # measured ~3.5x slower per row, tools/tpu_op_profile.py)
+            # measured ~3.5x slower per row, tools/tpu_op_profile.py) —
+            # and padded to 8 columns: the [T,2] gather output lands in a
+            # {1,0} row-major layout that costs ~5x per row vs the {0,1}
+            # layout XLA picks for wider rows (fusion.1450 in the profile)
             assert len(wb.tri_gid) < (1 << 24), 'gid exceeds f32 exactness'
-            tri_meta = np.stack([wb.tri_gid, wb.tri_inst],
-                                axis=1).astype(np.float32)
+            tri_meta = np.zeros((len(wb.tri_gid), 8), np.float32)
+            tri_meta[:, 0] = wb.tri_gid
+            tri_meta[:, 1] = wb.tri_inst
         else:
-            tri_meta = np.zeros((0, 2), np.float32)
+            tri_meta = np.zeros((0, 8), np.float32)
 
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
