@@ -367,48 +367,87 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                   c_stype=final.cache.stype, c_tri=final.cache.tri,
                   c_bucket=final.cache.bucket, c_cum=final.cache.cum_mask)
 
-        RAY_KEYS = ('ro', 'rd', 'mask', 'from_specular', 'albedo_set')
+        # Packed tail carry: each round's compaction reads, and its scatter-
+        # back writes, ONE wide [L, W] f32 buffer instead of ~9 per-field
+        # arrays. XLA's scatter cost is per update ROW, not per byte (the 4
+        # narrow [L,3] scatter-backs alone were ~19 ms/band-sample at round-3
+        # HEAD, tools/tpu_op_profile.py), so fusing the fields into one row
+        # cuts the round overhead by the field count. Every packed field is
+        # f32-exact (colors/dirs are f32, flags are 0/1, pixel coords and
+        # rand offsets < 2^24), so this is bit-identical to per-field carry.
+        # Ray state is read-only within a level (a lane runs at most one
+        # round per level); on the LAST level nothing downstream reads it
+        # either, so there it rides the gather-only static pack and its
+        # scatter-back disappears entirely.
+        RAY_FIELDS = [('ro', 3), ('rd', 3), ('mask', 3),
+                      ('from_specular', 1), ('albedo_set', 1)]
+
+        def f1(x):
+            return x.astype(jnp.float32).reshape(-1, 1)
+
+        def _pack(fields, src):
+            return jnp.concatenate(
+                [src[n] if w == 3 else f1(src[n]) for n, w in fields],
+                axis=1)
+
+        def _cols(fields):
+            cols, off = {}, 0
+            for name, w in fields:
+                cols[name] = (off, off + w)
+                off += w
+            return cols
+
         for li, (start_b, end_b, C) in enumerate(levels):
-            tf['pending'] = tf['alive']
-            # The ray-state keys are read only at compaction time (pending
-            # lanes' values are never modified by earlier rounds — a lane
-            # runs at most once per level) and by the NEXT level's
-            # compaction of survivors. On the LAST level nothing downstream
-            # reads them, so they leave the while carry (become closure
-            # constants) and their [L,3] scatter-backs disappear —
-            # bit-identical, ~15 ms/band-sample (tools/tpu_op_profile.py).
             last_level = li == len(levels) - 1
+            # the SampleCache carry is only live when this level starts
+            # below MAX_CACHE_DEPTH (static) — the default TAIL_START=3
+            # config skips all of its gathers/scatters
+            carry_cache = start_b < MAX_CACHE_DEPTH
+
+            dyn_fields = [('accucolor', 3), ('albedo_add', 3),
+                          ('albedo_inc', 1), ('alive', 1), ('pending', 1)]
+            if not last_level:
+                dyn_fields += RAY_FIELDS
+            sta_fields = [('xs', 1), ('ys', 1), ('bn', 1)]
+            if spp > 1:
+                sta_fields += [('soff', 1), ('samp', 1)]
             if last_level:
-                ray_static = {k: tf.pop(k) for k in RAY_KEYS}
-            else:
-                ray_static = None
+                sta_fields += RAY_FIELDS
+            dcols, scols = _cols(dyn_fields), _cols(sta_fields)
+            ip = dcols['pending'][0]
+
+            src = dict(tf, pending=tf['alive'], xs=xs, ys=ys, bn=bn_all)
+            if spp > 1:
+                src.update(soff=soff, samp=samp)
+            P0 = _pack(dyn_fields, src)
+            S = _pack(sta_fields, src)
 
             def tail_round(tc, start_b=start_b, end_b=end_b, C=C,
-                           ray_static=ray_static):
-                rs = ray_static if ray_static is not None else tc
+                           dyn_fields=tuple(dyn_fields), dcols=dcols,
+                           scols=scols, S=S, ip=ip,
+                           last_level=last_level, carry_cache=carry_cache):
+                P = tc['P']
+                pending = P[:, ip] != 0.0
                 # compact: pending lanes first (stable -> lane order)
-                order = jnp.argsort(~tc['pending'], stable=True)
+                order = jnp.argsort(~pending, stable=True)
                 sel = order[:C]
-                sub = dict(
-                    ro=rs['ro'][sel], rd=rs['rd'][sel],
-                    mask=rs['mask'][sel],
-                    accucolor=tc['accucolor'][sel],
-                    from_specular=rs['from_specular'][sel],
-                    albedo_set=rs['albedo_set'][sel],
-                    alive=tc['pending'][sel],
-                    xs=xs[sel], ys=ys[sel], bn=bn_all[sel],
-                    soff=soff[sel] if spp > 1 else soff,
-                    samp=samp[sel] if spp > 1 else samp)
+                sub_p = P[sel]          # one gather for every carried field
+                sub_s = S[sel]          # one gather for every static field
 
-                st0 = TraceState(mask=sub['mask'],
-                                 accucolor=sub['accucolor'],
+                def dget(name):
+                    a, b = dcols[name]
+                    return sub_p[:, a] if b - a == 1 else sub_p[:, a:b]
+
+                def sget(name):
+                    a, b = scols[name]
+                    return sub_s[:, a] if b - a == 1 else sub_s[:, a:b]
+
+                rget = sget if last_level else dget
+                st0 = TraceState(mask=rget('mask'),
+                                 accucolor=dget('accucolor'),
                                  light=jnp.zeros((C, 3), jnp.float32),
-                                 from_specular=sub['from_specular'],
-                                 albedo_set=sub['albedo_set'])
-                # the SampleCache carry is only live when this level starts
-                # below MAX_CACHE_DEPTH (static) — the default TAIL_START=3
-                # config skips all of its gathers/scatters
-                carry_cache = start_b < MAX_CACHE_DEPTH
+                                 from_specular=rget('from_specular') != 0.0,
+                                 albedo_set=rget('albedo_set') != 0.0)
                 if carry_cache:
                     sub_cache = SampleCache(
                         stype=tc['c_stype'][:, sel], tri=tc['c_tri'][:, sel],
@@ -416,9 +455,10 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                         cum_mask=tc['c_cum'][:, sel])
                 else:
                     sub_cache = SampleCache.empty(C)
+                sub_alive = dget('pending') != 0.0
                 sc = _BounceCarry(
                     bounce=jnp.asarray(start_b, jnp.int32),
-                    ro=sub['ro'], rd=sub['rd'], alive=sub['alive'],
+                    ro=rget('ro'), rd=rget('rd'), alive=sub_alive,
                     state=st0, cache=sub_cache,
                     rand_idx=tc['rand_idx'],
                     albedo_add=jnp.zeros((C, 3), jnp.float32),
@@ -426,41 +466,42 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                     rays_traced=jnp.zeros((), jnp.float32))
 
                 def sub_body(c):
-                    return _bounce_body(c, sub['xs'], sub['ys'],
-                                        sub['soff'], sub['samp'],
-                                        sub['bn'], C)
+                    return _bounce_body(
+                        c, sget('xs').astype(jnp.int32),
+                        sget('ys').astype(jnp.int32),
+                        sget('soff').astype(jnp.uint32) if spp > 1 else soff,
+                        sget('samp').astype(jnp.uint32) if spp > 1 else samp,
+                        sget('bn'), C)
 
                 sf = jax.lax.while_loop(
                     lambda c: (c.bounce < end_b) & jnp.any(c.alive),
                     sub_body, sc)
 
-                # scatter back by lane id; survivors stay alive for the next
-                # level (their ray/state advanced to end_b), pending cleared
+                # scatter back by lane id — ONE row-packed scatter;
+                # survivors stay alive for the next level (their ray/state
+                # advanced to end_b), pending cleared
+                upd = dict(
+                    accucolor=sf.state.accucolor,
+                    albedo_add=dget('albedo_add') + sf.albedo_add,
+                    albedo_inc=dget('albedo_inc') + sf.albedo_inc,
+                    alive=sf.alive,
+                    pending=jnp.zeros((C,), jnp.bool_))
+                if not last_level:
+                    upd.update(ro=sf.ro, rd=sf.rd, mask=sf.state.mask,
+                               from_specular=sf.state.from_specular,
+                               albedo_set=sf.state.albedo_set)
                 out = dict(
-                    pending=tc['pending'].at[sel].set(False),
-                    alive=tc['alive'].at[sel].set(sf.alive),
-                    accucolor=tc['accucolor'].at[sel].set(sf.state.accucolor),
-                    albedo_add=tc['albedo_add'].at[sel].add(sf.albedo_add),
-                    albedo_inc=tc['albedo_inc'].at[sel].add(sf.albedo_inc),
+                    P=P.at[sel].set(_pack(dyn_fields, upd)),
                     rand_idx=sf.rand_idx,
                     rays=tc['rays'] + sf.rays_traced,
                     c_stype=tc['c_stype'], c_tri=tc['c_tri'],
                     c_bucket=tc['c_bucket'], c_cum=tc['c_cum'])
-                if ray_static is None:
-                    out.update(
-                        ro=tc['ro'].at[sel].set(sf.ro),
-                        rd=tc['rd'].at[sel].set(sf.rd),
-                        mask=tc['mask'].at[sel].set(sf.state.mask),
-                        from_specular=tc['from_specular'].at[sel].set(
-                            sf.state.from_specular),
-                        albedo_set=tc['albedo_set'].at[sel].set(
-                            sf.state.albedo_set))
                 if carry_cache:
                     # rounds after the first pad `sel` with already-completed
                     # lanes (pending=False); their replayed bounces would
                     # overwrite the guiding records they wrote in an earlier
                     # round with TERMINATE, so only pending lanes scatter
-                    pend = sub['alive']
+                    pend = sub_alive
                     out.update(
                         c_stype=tc['c_stype'].at[:, sel].set(
                             jnp.where(pend[None, :], sf.cache.stype,
@@ -476,9 +517,26 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                                       sub_cache.cum_mask)))
                 return out
 
-            tf = jax.lax.while_loop(lambda tc: jnp.any(tc['pending']),
-                                    tail_round, tf)
-            tf.pop('pending')
+            init = dict(P=P0, rand_idx=tf['rand_idx'], rays=tf['rays'],
+                        c_stype=tf['c_stype'], c_tri=tf['c_tri'],
+                        c_bucket=tf['c_bucket'], c_cum=tf['c_cum'])
+            fin = jax.lax.while_loop(
+                lambda tc, ip=ip: jnp.any(tc['P'][:, ip] != 0.0),
+                tail_round, init)
+            Pf = fin['P']
+            for name, w in dyn_fields:
+                if name == 'pending':
+                    continue
+                a, b = dcols[name]
+                if name in ('alive', 'from_specular', 'albedo_set'):
+                    tf[name] = Pf[:, a] != 0.0
+                elif w == 1:
+                    tf[name] = Pf[:, a]
+                else:
+                    tf[name] = Pf[:, a:b]
+            for k in ('rand_idx', 'rays', 'c_stype', 'c_tri', 'c_bucket',
+                      'c_cum'):
+                tf[k] = fin[k]
 
         final = final._replace(
             state=final.state._replace(accucolor=tf['accucolor']),
