@@ -61,10 +61,32 @@ def hemisphere_cached(normal, radiance_cache, radiance_total,
     s_pick/r0_raw/r1_raw: the three uniform draws, in reference order.
     Returns (direction, bucket i32, invprob).
     """
+    cols = [radiance_cache[..., j] for j in range(GUIDE_BUCKETS)]
+    return hemisphere_cached_cols(normal, cols, radiance_total,
+                                  s_pick, r0_raw, r1_raw)
+
+
+def hemisphere_cached_cols(normal, cols, radiance_total,
+                           s_pick, r0_raw, r1_raw):
+    """hemisphere_cached over 8 SEPARATE column vectors.
+
+    The [L,8] array form makes XLA lay the CDF walk out column-major
+    ({0,1}), and it REMATERIALIZES the cache-row gather from the raw
+    [T,8] table to feed it — a pathological ~20 ms 8-col-row gather per
+    bounce (tools/tpu_op_profile.py fusion.1271, tools/cache_gather_bench.py:
+    unsorted 8-col row gathers fall off a cliff that 16+-col rows don't
+    hit). Unrolling the walk into per-column [L] arithmetic keeps every
+    tensor lane-major and the only cache read is the merged 24-col row
+    gather. Bit-identical: the unrolled prefix adds ARE cumsum's
+    sequential order, and the masked picks are the same one-hot sums.
+    """
     sample = s_pick * radiance_total
     # do-while: bucket = first index where EPS + cumsum >= sample
-    cum = jnp.cumsum(radiance_cache, axis=-1) + EPS
-    bucket = jnp.sum((cum < sample[..., None]).astype(jnp.int32), axis=-1)
+    run = jnp.zeros(cols[0].shape, jnp.float32)
+    bucket = jnp.zeros(cols[0].shape, jnp.int32)
+    for j in range(GUIDE_BUCKETS):
+        run = run + cols[j]
+        bucket = bucket + ((run + EPS) < sample).astype(jnp.int32)
     bucket = jnp.minimum(bucket, GUIDE_BUCKETS - 1)
 
     bf = bucket.astype(jnp.float32)
@@ -80,8 +102,8 @@ def hemisphere_cached(normal, radiance_cache, radiance_total,
     # one-hot select instead of take_along_axis: the gather form costs a
     # ~6 ms 414k-row gather per bounce on TPU (tools/tpu_op_profile.py);
     # exactly one term of the masked sum is nonzero, so this is bit-exact
-    iota8 = jnp.arange(GUIDE_BUCKETS, dtype=jnp.int32)
-    picked = jnp.sum(jnp.where(iota8 == bucket[..., None],
-                               radiance_cache, 0.0), axis=-1)
+    picked = jnp.zeros(cols[0].shape, jnp.float32)
+    for j in range(GUIDE_BUCKETS):
+        picked = picked + jnp.where(bucket == j, cols[j], 0.0)
     invprob = radiance_total / (picked * GUIDE_BUCKETS)
     return hemisphere_cosine(normal, r0, r1), bucket, invprob

@@ -140,7 +140,10 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
     # ---- hit decode: every per-hit lookup is ONE fat-row gather ----
     pid = jnp.maximum(hit.prim_id, 0)
-    tri_meta = dyn.tri_meta[pid]           # f32[B, 2] gid|inst float values
+    # one pid-keyed gather: gid|inst metadata AND the world verts (cols
+    # 2:11) for barycentric re-intersect texturing — a separate [WT,9]
+    # tris gather costs ~20 ms/bounce in XLA's in-loop layout choice
+    tri_meta = dyn.tri_meta[pid]           # f32[B, 16]
     gid = jnp.maximum(tri_meta[..., 0].astype(jnp.int32), 0)
     inst = jnp.maximum(tri_meta[..., 1].astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
@@ -229,7 +232,11 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     has_tex = is_tri & (tex_id >= 0)
     has_nmap = is_tri & (ntex_id >= 0)
     needs_uv = has_tex | has_nmap
-    tri9 = dyn.world.tris[pid]
+    # world verts (same values as world.tris), rebuilt from SCALAR column
+    # slices: block slices ([..., 2:11]) push XLA to a row-major {1,0}
+    # gather emitter that costs ~20 ms/bounce; scalar-column consumers keep
+    # the ~5 ms column-major form (tools/gather_layout_probe.py)
+    tri9 = jnp.stack([tri_meta[..., 2 + j] for j in range(9)], axis=-1)
     _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
                                       tri9[..., 6:9])
     uvs = trip[..., 9:15]  # [B, 6]
@@ -358,15 +365,22 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # hemisphere sample: guided or cosine (kernels.h:755-770)
     guided = take_diffuse & jnp.asarray(cache_on) & is_tri \
         & (vm.dot(collider_normal, original_normal) > 0.0)
+    # column form: [L]-shaped slices of the merged 24-col row gather keep
+    # the CDF walk lane-major — the [L,8] array form makes XLA rematerialize
+    # the cache gather from the raw [T,8] table in a column-major layout, a
+    # ~20 ms/bounce pathological 8-col row gather (tools/cache_gather_bench.py)
     rc = rc_row if rc_row is not None else radiance.cache[gid]
+    rc_cols = [rc[..., j] for j in range(rc.shape[-1])]
     # radianceTotal is identically sum(cache) under our update rule — derive
     # it instead of a second gather (kernels.h:899 maintains it incrementally)
-    rt = jnp.sum(rc, axis=-1)
+    rt = rc_cols[0]
+    for _c in rc_cols[1:]:
+        rt = rt + _c
     gs, rand_state = sampling.masked_rand(rand_state, guided)
     gr0, rand_state = sampling.masked_rand(rand_state, guided)
     gr1, rand_state = sampling.masked_rand(rand_state, guided)
-    gdir, gbucket, ginvprob = sampling.hemisphere_cached(
-        collider_normal, rc, rt, gs, gr0, gr1)
+    gdir, gbucket, ginvprob = sampling.hemisphere_cached_cols(
+        collider_normal, rc_cols, rt, gs, gr0, gr1)
 
     plain = take_diffuse & ~guided
     c0, rand_state = sampling.masked_rand(rand_state, plain)

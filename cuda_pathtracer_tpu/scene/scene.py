@@ -606,16 +606,23 @@ class Scene:
         if self.objects:
             # stored as float VALUES (< 2^24 exact), not int: f32 rows get
             # the gather-friendly layout on TPU (a same-shape s32 gather
-            # measured ~3.5x slower per row, tools/tpu_op_profile.py) —
-            # and padded to 8 columns: the [T,2] gather output lands in a
-            # {1,0} row-major layout that costs ~5x per row vs the {0,1}
-            # layout XLA picks for wider rows (fusion.1450 in the profile)
+            # measured ~3.5x slower per row, tools/tpu_op_profile.py).
+            # Cols 2:11 embed the WORLD-SPACE triangle verts (the same
+            # v0|v1|v2 as world.tris): shade's barycentric re-intersect
+            # texturing previously gathered the [WT,9] tris table
+            # separately, and XLA emits that narrow row-major in-loop
+            # gather at ~20 ms/bounce vs ~5 ms for the 16-col form
+            # (tools/tpu_op_profile.py fusion.1267) — one 16-col gather
+            # serves gid|inst AND the verts.
             assert len(wb.tri_gid) < (1 << 24), 'gid exceeds f32 exactness'
-            tri_meta = np.zeros((len(wb.tri_gid), 8), np.float32)
+            tri_meta = np.zeros((len(wb.tri_gid), 16), np.float32)
             tri_meta[:, 0] = wb.tri_gid
             tri_meta[:, 1] = wb.tri_inst
+            tri_meta[:, 2:5] = wb.tri_v0
+            tri_meta[:, 5:8] = wb.tri_v1
+            tri_meta[:, 8:11] = wb.tri_v2
         else:
-            tri_meta = np.zeros((0, 8), np.float32)
+            tri_meta = np.zeros((0, 16), np.float32)
 
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
@@ -694,8 +701,13 @@ class Scene:
             self._light_arrays(transforms, overrides)
         base = self._full_dyn
         world = base.world._replace(node_box=node_box, tris=wtris)
+        # tri_meta embeds the world verts in cols 2:11 (see _dynamic_arrays)
+        # — refresh them from the refitted wtris on device (one concat)
+        tri_meta = jnp.concatenate(
+            [base.tri_meta[:, :2], wtris, base.tri_meta[:, 11:]], axis=1)
         return base._replace(
             world=world,
+            tri_meta=tri_meta,
             inst_transform=jnp.asarray(transforms),
             inst_inv=jnp.asarray(inverses),
             inst_mat=jnp.asarray(overrides),
