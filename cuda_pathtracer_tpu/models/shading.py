@@ -143,6 +143,15 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # one pid-keyed gather: gid|inst metadata AND the world verts (cols
     # 2:11) for barycentric re-intersect texturing — a separate [WT,9]
     # tris gather costs ~20 ms/bounce in XLA's in-loop layout choice
+    # NOTE(perf, measured): this gather runs from HBM in the slow {1,0}
+    # emitter (~6.5 ms/bounce) while the same-shape tri_guide concat below
+    # is staged into scoped VMEM by XLA and gathers at ~0.75 ms. Attempts
+    # to trigger the same staging for this table (optimization_barrier
+    # concat, concat-with-world.tris re-formation, raising
+    # xla_tpu_scoped_vmem_limit_kib via per-jit compiler_options) all
+    # landed within tunnel noise — the memory-space-assignment choice is
+    # not reachable from program shape (tools/scoped_vmem_engine_ab.py,
+    # tools/gather_layout_probe.py).
     tri_meta = dyn.tri_meta[pid]           # f32[B, 16]
     gid = jnp.maximum(tri_meta[..., 0].astype(jnp.int32), 0)
     inst = jnp.maximum(tri_meta[..., 1].astype(jnp.int32), 0)

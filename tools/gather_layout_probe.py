@@ -49,12 +49,32 @@ def consume_vec3(g):
     return d.sum()
 
 
-def run(name, consumer, while_form=False, carry_idx=False):
+def consume_vecc(g):
+    """vec3 math on INDIVIDUAL column vectors (no [L,3] block slices)."""
+    c = [g[:, j] for j in range(16)]
+    e1 = [c[5 + k] - c[2 + k] for k in range(3)]
+    e2 = [c[8 + k] - c[2 + k] for k in range(3)]
+    cr = [e1[1] * e2[2] - e1[2] * e2[1],
+          e1[2] * e2[0] - e1[0] * e2[2],
+          e1[0] * e2[1] - e1[1] * e2[0]]
+    d = cr[0] * c[2] + cr[1] * c[3] + cr[2] * c[4] + c[0] + c[1]
+    return d.sum()
+
+
+def run(name, consumer, while_form=False, carry_idx=False, sort_idx=False,
+        concat_form=False):
+    """concat_form: pass the table as two [T,8] halves and jnp.concatenate
+    them INSIDE the jit — the engine's trip table gets this form and XLA
+    materializes the concat result into scoped VMEM (S(1) ConcatBitcast +
+    async slice-done copies), making its gather ~9x faster than the
+    plain-parameter form (fusion.1260 vs fusion.1258 in tpu_op_profile)."""
     tab = jnp.asarray(tab_np)
-    ixd = jnp.asarray(idx)
+    ixd = jnp.asarray(np.sort(idx) if sort_idx else idx)
 
     @jax.jit
     def f(tab, ixd):
+        if isinstance(tab, tuple):
+            tab = jnp.concatenate(tab, axis=1)
         if while_form:
             def cond(c):
                 return c[0] < K
@@ -78,8 +98,10 @@ def run(name, consumer, while_form=False, carry_idx=False):
             return (acc, ix)
         return jax.lax.fori_loop(0, K, body, (jnp.float32(0), ixd))[0]
 
+    if concat_form:
+        tab = (tab[:, :8].copy(), tab[:, 8:].copy())
     r = f(tab, ixd)
-    r.block_until_ready()
+    jax.block_until_ready(r)
     t0 = time.perf_counter()
     np.asarray(f(tab, ixd))
     dt = (time.perf_counter() - t0 - 0.030) / K * 1e3
@@ -136,3 +158,13 @@ if 'whilel' in sel:
     run('whilel', consume_vec3, while_form=True)
 if 'wl_sum' in sel:
     run('wl_sum', consume_sum, while_form=True)
+if 'vecc' in sel:
+    run('vecc', consume_vecc)
+if 'vec3s' in sel:
+    run('vec3s', consume_vec3, sort_idx=True)
+if 'veccs' in sel:
+    run('veccs', consume_vecc, sort_idx=True)
+if 'vec3cat' in sel:
+    run('vec3cat', consume_vec3, concat_form=True)
+if 'wlcat' in sel:
+    run('wlcat', consume_vec3, while_form=True, concat_form=True)
