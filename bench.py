@@ -98,12 +98,16 @@ def main():
     lum, alb = film.clear_accumulators(iw * ih)
     wd = -(-scene.wide_depth // 4) * 4
 
+    # parity config: the reference's 130 fps headline runs WITHOUT path
+    # guiding (a compile-time flag, default off) — cache_on=False removes
+    # the guided-CDF walk and guide_off the cache scatter, like the
+    # reference's ifdef does
     def frame(i):
         return render_sample(arrays, dyn, camera, radiance, lum, alb,
                              jnp.uint32(0), jnp.uint32(i), jnp.asarray(False),
-                             nee=True, cache_on=True, max_bounces=2,
+                             nee=True, cache_on=False, max_bounces=2,
                              width=iw, height=ih, wide_depth=wd,
-                             tile_order=True)
+                             tile_order=True, guide_off=True)
 
     out = frame(0)
     out[0].block_until_ready()
@@ -138,8 +142,9 @@ def main():
             l1, a1, _, ridx, _ = render_sample(
                 arrays, dyn, camera, radiance, l0, a0,
                 jnp.uint32(0), rand_idx, jnp.asarray(False),
-                nee=True, cache_on=True, max_bounces=2,
-                width=iw, height=ih, wide_depth=wd, tile_order=True)
+                nee=True, cache_on=False, max_bounces=2,
+                width=iw, height=ih, wide_depth=wd, tile_order=True,
+                guide_off=True)
             if inv_perm is not None:
                 l1, a1 = l1[inv_perm], a1[inv_perm]
             img = film.display(l1, a1, 1.0, iw, ih, blur=False)
@@ -198,7 +203,7 @@ def bench_scenes():
 
     configs = [
         ('2mtris', '2mtris', 1920, 1080, 2,
-         Camera.create([0, 6, -14], [0, -0.1, 1], 1.5, 10.0, 0.0), False),
+         Camera.create([0, 6, -8], [0, -0.05, 1], 1.5, 8.0, 0.0), False),
         ('minecraft+guiding+blur', 'minecraft', 640, 480, 6,
          Camera.create([0, 6, -14], [0, -0.15, 1], 1.5, 10.0, 0.0), True),
         ('sponza.chai', '/root/reference/sponza.chai', 640, 480, 6,

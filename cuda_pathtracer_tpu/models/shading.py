@@ -142,19 +142,23 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     pid = jnp.maximum(hit.prim_id, 0)
     # one pid-keyed gather: gid|inst metadata AND the world verts (cols
     # 2:11) for barycentric re-intersect texturing — a separate [WT,9]
-    # tris gather costs ~20 ms/bounce in XLA's in-loop layout choice
-    # NOTE(perf, measured): this gather runs from HBM in the slow {1,0}
-    # emitter (~6.5 ms/bounce) while the same-shape tri_guide concat below
-    # is staged into scoped VMEM by XLA and gathers at ~0.75 ms. Attempts
-    # to trigger the same staging for this table (optimization_barrier
-    # concat, concat-with-world.tris re-formation, raising
-    # xla_tpu_scoped_vmem_limit_kib via per-jit compiler_options) all
-    # landed within tunnel noise — the memory-space-assignment choice is
-    # not reachable from program shape (tools/scoped_vmem_engine_ab.py,
-    # tools/gather_layout_probe.py).
-    tri_meta = dyn.tri_meta[pid]           # f32[B, 16]
-    gid = jnp.maximum(tri_meta[..., 0].astype(jnp.int32), 0)
-    inst = jnp.maximum(tri_meta[..., 1].astype(jnp.int32), 0)
+    # tris gather costs ~20 ms/bounce in XLA's in-loop layout choice.
+    # NOTE(perf, measured): gathering dyn.tri_meta DIRECTLY (a while-loop
+    # parameter) runs from HBM in a slow emitter at ~6.5 ms/bounce, while
+    # the same-shape tri_guide CONCAT below is assembled into VMEM by
+    # memory-space assignment (ConcatBitcast of async slice copies) and
+    # gathers at ~0.75 ms. MSA never prefetches the loop parameter itself
+    # (optimization_barrier/limit-raising probes: tools/
+    # scoped_vmem_engine_ab.py), but a swapped-half concat — which the
+    # algebraic simplifier cannot fold back into the parameter — recreates
+    # the staged-concat shape and gets the fast path. Columns here are
+    # therefore addressed through the swap: [8:16]+[0:8] → gid at 8,
+    # inst at 9, v0v1 at 10:16, v2 at 0:3.
+    tm = dyn.tri_meta
+    tm_tab = jnp.concatenate([tm[:, 8:], tm[:, :8]], axis=1)
+    tri_meta = tm_tab[pid]                 # f32[B, 16] (swapped halves)
+    gid = jnp.maximum(tri_meta[..., 8].astype(jnp.int32), 0)
+    inst = jnp.maximum(tri_meta[..., 9].astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
     is_sphere = live & (hit.prim_type == PRIM_SPHERE)
     is_plane = live & (hit.prim_type == PRIM_PLANE)
@@ -245,7 +249,8 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # slices: block slices ([..., 2:11]) push XLA to a row-major {1,0}
     # gather emitter that costs ~20 ms/bounce; scalar-column consumers keep
     # the ~5 ms column-major form (tools/gather_layout_probe.py)
-    tri9 = jnp.stack([tri_meta[..., 2 + j] for j in range(9)], axis=-1)
+    tri9 = jnp.stack([tri_meta[..., j] for j in (10, 11, 12, 13, 14, 15,
+                                                 0, 1, 2)], axis=-1)
     _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
                                       tri9[..., 6:9])
     uvs = trip[..., 9:15]  # [B, 6]

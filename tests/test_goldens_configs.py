@@ -83,10 +83,11 @@ def render_config(name, reference_assets):
         obj = GameObject(model)
         obj.rotation[0] = -3.1415926535 / 2
         scene.add_object(obj)
-        # the generated statue spans ~±10 x/y and -33..9 z: frame it
-        scene.add_point_light(PointLight((-6, 12, -44), (900, 900, 900)))
+        # the statue (a ~2.6-radius, 12-tall body of revolution built along
+        # +z) stands upright along +y after the rotation: frame it
+        scene.add_point_light(PointLight((-6, 14, -10), (900, 900, 900)))
         scene.finalize()
-        cam = Camera.create([0, 2, -48], [0, 0, 1], 1.5, 20.0, 0.0)
+        cam = Camera.create([0, 6, -14], [0, -0.05, 1], 1.5, 14.0, 0.0)
         # point lights are the raytracer's domain (the GPU pathtracer only
         # samples area lights, matching the reference)
         rt = Raytracer(scene, 48, 32)

@@ -42,8 +42,11 @@ def make(dtype, widen=False):
             tmin = jnp.maximum(jnp.minimum(t0, t1), jnp.minimum(t0b, t1b))
             tmax = jnp.minimum(jnp.maximum(t0, t1), jnp.maximum(t0b, t1b))
             hit = tmax >= tmin
-            lo = jnp.where(hit, lo * jnp.asarray(0.9997, cdt), lo)
-            hi = hi + jnp.asarray(0.0001, cdt)
+            # keep magnitudes O(1) across K steps: swap-style update, no
+            # multiplicative decay (decay drove the f32 variant into a
+            # pathological regime in the first version of this probe)
+            lo = jnp.where(hit, -hi, lo)
+            hi = jnp.where(hit, tmin, hi)
             return lo, hi
         lo, hi = jax.lax.fori_loop(0, K, body, (x, x + jnp.asarray(1, cdt)))
         o_ref[:] = (lo + hi).astype(dtype)

@@ -34,7 +34,7 @@ arrays, dyn = scene.to_device(), scene.dynamic_arrays()
 if os.environ.get('PROF_CAM', 'sibenik') == 'sibenik':
     cam = Camera.create([0.0, 5.0, -16.0], [0, 0, 1], 1.5, 12.0, 0.0)
 else:
-    cam = Camera.create([0, 6, -14], [0, -0.1, 1], 1.5, 10.0, 0.0)
+    cam = Camera.create([0, 6, -8], [0, -0.05, 1], 1.5, 8.0, 0.0)
 W = int(os.environ.get('PROF_W', '1920'))
 H = int(os.environ.get('PROF_H', '216'))
 B = W * H
@@ -43,10 +43,14 @@ lum, alb = film.clear_accumulators(B)
 wd = -(-scene.wide_depth // 4) * 4
 
 
+CACHE = os.environ.get('PROF_CACHE', '1') != '0'
+GUIDE = os.environ.get('PROF_GUIDE', '1') != '0'
+
+
 def frame():
     return render_sample(arrays, dyn, cam, radiance, lum, alb,
-                         jnp.uint32(1), jnp.uint32(7), jnp.asarray(True),
-                         nee=True, cache_on=True, max_bounces=MB,
+                         jnp.uint32(1), jnp.uint32(7), jnp.asarray(GUIDE),
+                         nee=True, cache_on=CACHE, max_bounces=MB,
                          width=W, height=H,
                          full_height=int(os.environ.get('PROF_FULLH', '1080')),
                          wide_depth=wd, tile_order=True)
