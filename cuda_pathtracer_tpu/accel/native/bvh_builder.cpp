@@ -14,7 +14,10 @@
 // Memory design (the build is gather-bound, measured 27 ns/triangle-touch
 // with split arrays): each triangle's box + centroid + bin id live in ONE
 // 64-byte cache-line record, fetched once per touch via the permutation with
-// software prefetch; box/centroid grows are SSE min/max. Each WorkItem
+// software prefetch. The record stores (-lo, hi) and (-cen, cen) halves so
+// a bin grow is a single 8-wide MAX per half (min(lo,x) == -max(-lo,-x),
+// bitwise identical for IEEE min/max including signed zeros, so the tree
+// matches the numpy builder exactly). Each WorkItem
 // carries its exact centroid bounds, computed during the parent's binning as
 // the union of per-bin centroid boxes (min/max over the same point set =>
 // bit-identical to a rescan), so a node makes two passes over its slice
@@ -91,11 +94,43 @@ struct alignas(16) Box {
     }
 };
 
-// One triangle's entire build payload in a single cache line.
+// Negated-min box: f = [-lox,-loy,-loz,-INF, hix,hiy,hiz,-INF]. Growing by
+// another NBox (or a point in the same form) is ONE 8-wide max; the -INF
+// pads are max-identities so they never change. insideOut == all -INF.
+struct alignas(32) NBox {
+    float f[8];
+    static NBox insideOut() {
+        return {{-INF, -INF, -INF, -INF, -INF, -INF, -INF, -INF}};
+    }
+#ifdef __AVX__
+    inline void grow(const NBox& o) {
+        _mm256_store_ps(f, _mm256_max_ps(_mm256_load_ps(f),
+                                         _mm256_load_ps(o.f)));
+    }
+#else
+    inline void grow(const NBox& o) {
+        for (int j = 0; j < 8; j++) f[j] = std::max(f[j], o.f[j]);
+    }
+#endif
+    Box box() const {
+        return {{{-f[0], -f[1], -f[2], INF}}, {{f[4], f[5], f[6], -INF}}};
+    }
+    float area() const {
+        // same subtract as Box::area (hi - lo with lo == -f[j]) so the
+        // float result is bitwise identical
+        float dx = std::max(f[4] - (-f[0]), 0.0f);
+        float dy = std::max(f[5] - (-f[1]), 0.0f);
+        float dz = std::max(f[6] - (-f[2]), 0.0f);
+        return 2.0f * (dx * dy + dx * dz + dy * dz);
+    }
+};
+
+// One triangle's entire build payload in a single cache line:
+// nbox = (-lo, hi), ncen = (-cen, cen) — both growable by 8-wide max.
 struct alignas(64) TriRec {
-    Box box;       // 32 B (lo pad +INF, hi pad -INF)
-    F4 cen;        // 16 B (pad 0)
-    int32_t _pad[4];
+    NBox nbox;
+    NBox ncen;
+    inline float cen(int axis) const { return ncen.f[4 + axis]; }
 };
 static_assert(sizeof(TriRec) == 64, "TriRec must be one cache line");
 
@@ -131,49 +166,87 @@ extern "C" int64_t build_bvh_binned(
     };
     double tstart = now();
 
-    std::vector<TriRec> rec(n);
+    // one cache-line record per triangle, NOT zero-initialized (the init
+    // loop writes every byte; a std::vector would memset 64 B/tri first)
+    TriRec* rec = static_cast<TriRec*>(
+        std::aligned_alloc(64, (size_t)n * sizeof(TriRec)));
     // bin id of the triangle at PERM POSITION i for the current split: the
     // bin pass writes it sequentially and the partition reads it
     // sequentially from both ends (swapped alongside out_perm), so the
     // partition does no gathers at all
-    std::vector<int8_t> bin_pos(n);
+    int8_t* bin_pos = static_cast<int8_t*>(std::malloc((size_t)n));
+    if (!rec || !bin_pos) {
+        std::free(rec);
+        std::free(bin_pos);
+        return 0;
+    }
 
-    Box root = Box::insideOut();
-    Box root_cen = Box::insideOut();
+    NBox nroot = NBox::insideOut();
+    NBox nroot_cen = NBox::insideOut();
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
     {
-        Box local = Box::insideOut();
-        Box local_cen = Box::insideOut();
+        NBox local = NBox::insideOut();
+        NBox local_cen = NBox::insideOut();
 #ifdef _OPENMP
 #pragma omp for nowait
 #endif
         for (int64_t i = 0; i < n; i++) {
-            F4 a{{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2], 0.0f}};
-            F4 b{{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2], 0.0f}};
-            F4 c{{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2], 0.0f}};
             TriRec& t = rec[i];
-            for (int j = 0; j < 3; j++) {
-                t.box.lo.v[j] = std::min(a.v[j], std::min(b.v[j], c.v[j]));
-                t.box.hi.v[j] = std::max(a.v[j], std::max(b.v[j], c.v[j]));
-                t.cen.v[j] = 0.333333f * (a.v[j] + b.v[j] + c.v[j]);
+#ifdef BVH_SSE
+            if (i + 1 < n) {
+                // 16-byte loads read one float past the 12-byte vertex —
+                // safe everywhere except the last triangle (scalar below)
+                __m128 a = _mm_loadu_ps(v0 + 3 * i);
+                __m128 b = _mm_loadu_ps(v1 + 3 * i);
+                __m128 c = _mm_loadu_ps(v2 + 3 * i);
+                __m128 lo = _mm_min_ps(a, _mm_min_ps(b, c));
+                __m128 hi = _mm_max_ps(a, _mm_max_ps(b, c));
+                __m128 cen = _mm_mul_ps(_mm_set1_ps(0.333333f),
+                                        _mm_add_ps(_mm_add_ps(a, b), c));
+                const __m128 sgn = _mm_set1_ps(-0.0f);
+                _mm_store_ps(t.nbox.f, _mm_xor_ps(lo, sgn));
+                _mm_store_ps(t.nbox.f + 4, hi);
+                _mm_store_ps(t.ncen.f, _mm_xor_ps(cen, sgn));
+                _mm_store_ps(t.ncen.f + 4, cen);
+                t.nbox.f[3] = -INF;
+                t.nbox.f[7] = -INF;
+                t.ncen.f[3] = -INF;
+                t.ncen.f[7] = -INF;
+            } else
+#endif
+            {
+                for (int j = 0; j < 3; j++) {
+                    float a = v0[3 * i + j], b = v1[3 * i + j],
+                          c = v2[3 * i + j];
+                    float lo = std::min(a, std::min(b, c));
+                    float hi = std::max(a, std::max(b, c));
+                    float cen = 0.333333f * ((a + b) + c);
+                    t.nbox.f[j] = -lo;
+                    t.nbox.f[4 + j] = hi;
+                    t.ncen.f[j] = -cen;
+                    t.ncen.f[4 + j] = cen;
+                }
+                t.nbox.f[3] = -INF;
+                t.nbox.f[7] = -INF;
+                t.ncen.f[3] = -INF;
+                t.ncen.f[7] = -INF;
             }
-            t.box.lo.v[3] = INF;
-            t.box.hi.v[3] = -INF;
-            t.cen.v[3] = 0.0f;
-            local.grow(t.box);
-            local_cen.grow_pt(t.cen);
+            local.grow(t.nbox);
+            local_cen.grow(t.ncen);
             out_perm[i] = (int32_t)i;
         }
 #ifdef _OPENMP
 #pragma omp critical
 #endif
         {
-            root.grow(local);
-            root_cen.grow(local_cen);
+            nroot.grow(local);
+            nroot_cen.grow(local_cen);
         }
     }
+    const Box root = nroot.box();
+    const Box root_cen = nroot_cen.box();
     if (prof) t_init = now() - tstart;
 
     auto set_box = [&](int64_t idx, const Box& b) {
@@ -201,29 +274,29 @@ extern "C" int64_t build_bvh_binned(
         int32_t* b = out_perm + start;
         std::nth_element(b, b + count / 2, b + count,
                          [&](int32_t a, int32_t c) {
-                             return rec[a].cen.v[axis] < rec[c].cen.v[axis];
+                             return rec[a].cen(axis) < rec[c].cen(axis);
                          });
         const int64_t lcnt = count / 2;
         const int64_t c1 = node_count.fetch_add(2);
         const int64_t c2 = c1 + 1;
-        Box lb = Box::insideOut(), rb = Box::insideOut();
-        Box lcen = Box::insideOut(), rcen = Box::insideOut();
+        NBox lb = NBox::insideOut(), rb = NBox::insideOut();
+        NBox lcen = NBox::insideOut(), rcen = NBox::insideOut();
         for (int64_t i = start; i < start + lcnt; i++) {
-            lb.grow(rec[out_perm[i]].box);
-            lcen.grow_pt(rec[out_perm[i]].cen);
+            lb.grow(rec[out_perm[i]].nbox);
+            lcen.grow(rec[out_perm[i]].ncen);
         }
         for (int64_t i = start + lcnt; i < start + count; i++) {
-            rb.grow(rec[out_perm[i]].box);
-            rcen.grow_pt(rec[out_perm[i]].cen);
+            rb.grow(rec[out_perm[i]].nbox);
+            rcen.grow(rec[out_perm[i]].ncen);
         }
-        set_box(c1, lb);
-        set_box(c2, rb);
+        set_box(c1, lb.box());
+        set_box(c2, rb.box());
         out_left[idx] = (int32_t)c1;
         out_leaf_count[idx] = 0;
         out_leaf_start[idx] = 0;
         if (prof) { t_med += now() - tm0; n_med += count; }
-        stack.push_back({c2, start + lcnt, count - lcnt, rcen});
-        stack.push_back({c1, start, lcnt, lcen});
+        stack.push_back({c2, start + lcnt, count - lcnt, rcen.box()});
+        stack.push_back({c1, start, lcnt, lcen.box()});
     };
 
     // One SAH split step; pushes children onto `stack` (or makes a leaf).
@@ -248,12 +321,12 @@ extern "C" int64_t build_bvh_binned(
             return;
         }
 
-        Box bins[K];
-        Box cbins[K];           // per-bin centroid bounds -> child bounds
+        NBox nbins[K];
+        NBox ncbins[K];         // per-bin centroid bounds -> child bounds
         int64_t bin_counts[K] = {0};
         for (int k = 0; k < K; k++) {
-            bins[k] = Box::insideOut();
-            cbins[k] = Box::insideOut();
+            nbins[k] = NBox::insideOut();
+            ncbins[k] = NBox::insideOut();
         }
         const float bin_fac = K * (1.0f - FEPS) / (bmax - bmin);
         double tb0 = prof ? now() : 0;
@@ -261,13 +334,13 @@ extern "C" int64_t build_bvh_binned(
         for (int64_t i = start; i < start + count; i++) {
             if (i + PF < start + count) prefetch(&rec[out_perm[i + PF]]);
             TriRec& t = rec[out_perm[i]];
-            int b = (int)((t.cen.v[axis] - bmin) * bin_fac);
+            int b = (int)((t.cen(axis) - bmin) * bin_fac);
             if (b < 0) b = 0;
             if (b >= K) b = K - 1;
             bin_pos[i] = (int8_t)b;
             bin_counts[b]++;
-            bins[b].grow(t.box);
-            cbins[b].grow_pt(t.cen);
+            nbins[b].grow(t.nbox);
+            ncbins[b].grow(t.ncen);
         }
         if (prof) { t_bin += now() - tb0; n_bin += count; }
 
@@ -281,19 +354,19 @@ extern "C" int64_t build_bvh_binned(
         const double inv_parent =
             1.0 / std::max((double)parent_box.area(), 1e-30);
 
+        // cost-only sweep in NBox space (one 8-wide max per grow; the area
+        // uses the same float subtracts as Box::area so costs — and hence
+        // min_k — are bit-identical to the Box-space scan)
         double left_cost[K], right_cost[K];
-        Box left_scan[K], right_scan[K];
-        Box lb = Box::insideOut(), rb = Box::insideOut();
+        NBox lb = NBox::insideOut(), rb = NBox::insideOut();
         int64_t lc = 0, rc = 0;
         for (int k = 0; k < K; k++) {
             left_cost[k] = lc ? lc * lb.area() * inv_parent : 0.0;
-            left_scan[k] = lb;
-            lb.grow(bins[k]);
+            lb.grow(nbins[k]);
             lc += bin_counts[k];
-            rb.grow(bins[K - k - 1]);
+            rb.grow(nbins[K - k - 1]);
             rc += bin_counts[K - k - 1];
             right_cost[K - k - 1] = rc * rb.area() * inv_parent;
-            right_scan[K - k - 1] = rb;
         }
 
         double min_sah = (double)count;
@@ -324,7 +397,7 @@ extern "C" int64_t build_bvh_binned(
             int64_t lpos = start, rpos = start + bin_lcnt;
             std::memcpy(scratch_perm.data(), out_perm + start,
                         count * sizeof(int32_t));
-            std::memcpy(scratch_bin.data(), bin_pos.data() + start, count);
+            std::memcpy(scratch_bin.data(), bin_pos + start, count);
             for (int64_t i = 0; i < count; i++) {
                 const int32_t v = scratch_perm[i];
                 const int8_t b = scratch_bin[i];
@@ -343,22 +416,25 @@ extern "C" int64_t build_bvh_binned(
             return;
         }
 
-        // children's centroid bounds: union of the per-bin centroid boxes on
-        // each side of the cut — the same min/max over the same points as a
-        // rescan of the child slice, so bit-identical
-        Box lcen = Box::insideOut(), rcen = Box::insideOut();
-        for (int k = 0; k < min_k; k++) lcen.grow(cbins[k]);
-        for (int k = min_k; k < K; k++) rcen.grow(cbins[k]);
+        // children's boxes and centroid bounds: union of the per-bin boxes
+        // on each side of the cut — the same min/max over the same points as
+        // a rescan of the child slice, so bit-identical
+        NBox lbox = NBox::insideOut(), rbox = NBox::insideOut();
+        NBox lcen = NBox::insideOut(), rcen = NBox::insideOut();
+        for (int k = 0; k < min_k; k++) lbox.grow(nbins[k]);
+        for (int k = min_k; k < K; k++) rbox.grow(nbins[k]);
+        for (int k = 0; k < min_k; k++) lcen.grow(ncbins[k]);
+        for (int k = min_k; k < K; k++) rcen.grow(ncbins[k]);
 
         const int64_t c1 = node_count.fetch_add(2);
         const int64_t c2 = c1 + 1;
-        set_box(c1, left_scan[min_k]);
-        set_box(c2, right_scan[min_k]);
+        set_box(c1, lbox.box());
+        set_box(c2, rbox.box());
         out_left[idx] = (int32_t)c1;
         out_leaf_count[idx] = 0;
         out_leaf_start[idx] = 0;
-        stack.push_back({c2, start + lcnt, count - lcnt, rcen});
-        stack.push_back({c1, start, lcnt, lcen});
+        stack.push_back({c2, start + lcnt, count - lcnt, rcen.box()});
+        stack.push_back({c1, start, lcnt, lcen.box()});
     };
 
     auto build_subtree = [&](WorkItem item) {
@@ -391,6 +467,8 @@ extern "C" int64_t build_bvh_binned(
     if (threads <= 1 || n < 1 << 16) {
         build_subtree({0, 0, n, root_cen});
         if (prof) dump_prof();
+        std::free(rec);
+        std::free(bin_pos);
         return node_count.load();
     }
 
@@ -424,5 +502,7 @@ extern "C" int64_t build_bvh_binned(
     }
 
     if (prof) dump_prof();
+    std::free(rec);
+    std::free(bin_pos);
     return node_count.load();
 }

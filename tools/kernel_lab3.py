@@ -1,0 +1,293 @@
+"""Kernel lab 3: decompose the v2 multi-push kernel's per-visit cost.
+
+The v1 lab (kernel_lab.py / kernel_lab2.py) located v1's ~430 ns wall in the
+nearest-first child-selection chain; v2 (ops/traverse_packet2.py) removed it
+and is now "vector-throughput-bound (fetch + slab + one any-reduce)" at
+~480 ns/step (tools/subpacket_probe.py `v2ref`). This lab prices each piece
+of the v2 INNER visit so the next lever is chosen by measurement:
+
+  empty    while_loop + scalar-next only (loop floor, no vector work)
+  fetch    + row slice from VMEM table (no transpose, summed into carry)
+  trans    + the (1,128)->(128,1) transpose
+  bcast    + the 6x f16() sublane-slice broadcasts to (16,128)
+  slab     + full FMA slab test -> chit (no reduction, chit summed cheaply)
+  full     + anyc any-reduce + hitmask/meta extraction + SMEM dec writes
+           == the production v2 inner visit with a scripted next index
+  bf16     `full` but box planes stored as bf16 PAIRS packed into 48 f32
+           lanes (conservative rounding), unpacked in-kernel via bitcast +
+           shift: halves the box fetch volume, slab in f32 after convert
+  dual     `full` but TWO independent node rows visited per loop iteration
+           (per-visit loop/scalar overhead amortized 2x)
+  leaf     the production v2 LEAF visit (12-tri Moller + gid min) scripted
+
+All variants run T scripted steps per packet at NPK=2 with live t/dec SMEM
+traffic so nothing is dead-code eliminated. ns/packet-step comparisons are
+valid within a run (same grid, same step count).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/kernel_lab3.py
+     [variants...]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache')
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ARITY = 16
+LEAF_MAX = 12
+N = 8192          # node table rows
+T = 256           # steps per packet
+NPK = 2
+BIG = 3.0e38
+MT_DET_EPS = 1e-4
+PBOX0 = 0
+PTRIS = 0
+PGIDS = 108
+
+
+def make_kernel(variant):
+    def kernel(tab_ref, btab_ref, rays_ref, out_ref, dec_s, t_s):
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
+        bits16 = (1 << iota16)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        rays = rays_ref[:]
+
+        def ray_fields(p):
+            b = p * 16
+            return dict(
+                o=(rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]),
+                d=(rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]),
+                iv=(rays[b + 6:b + 7], rays[b + 7:b + 8], rays[b + 8:b + 9]),
+                oiv=(rays[b + 12:b + 13], rays[b + 13:b + 14],
+                     rays[b + 14:b + 15]))
+
+        def slab(rowT, rf, t):
+            def f16(k):
+                return jnp.broadcast_to(
+                    rowT[PBOX0 + k * 16:PBOX0 + (k + 1) * 16], (ARITY, 128))
+            lox, loy, loz = f16(0), f16(1), f16(2)
+            hix, hiy, hiz = f16(3), f16(4), f16(5)
+            ivx, ivy, ivz = rf['iv']
+            oivx, oivy, oivz = rf['oiv']
+            t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+            t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+            t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t)
+
+        def slab_bf16(rowT, rf, t):
+            # rowT[0:48] carries 96 bf16 planes: lane k holds planes (2k,
+            # 2k+1) packed lo16|hi16. Unpack via int shift + bitcast; the
+            # slab math itself stays f32.
+            packed = jax.lax.bitcast_convert_type(rowT[0:48], jnp.int32)
+            lo16 = jax.lax.bitcast_convert_type(
+                packed << 16, jnp.float32)            # even planes
+            hi16 = jax.lax.bitcast_convert_type(
+                (packed >> 16) << 16, jnp.float32)    # odd planes
+
+            def f16(k):
+                # plane k lives in packed lane k//2, half k%2; planes are
+                # 16 consecutive children each -> 8 packed lanes per plane
+                src = lo16 if k % 2 == 0 else hi16
+                return jnp.broadcast_to(src[(k // 2) * 8:(k // 2) * 8 + 8]
+                                        .repeat(2, axis=0), (ARITY, 128))
+            # NOTE: the repeat(2) above is a stand-in interleave: this lab
+            # prices the UNPACK + f32 slab cost, not child addressing (the
+            # real layout would interleave children pairwise).
+            lox, loy, loz = f16(0), f16(2), f16(4)
+            hix, hiy, hiz = f16(6), f16(8), f16(10)
+            ivx, ivy, ivz = rf['iv']
+            oivx, oivy, oivz = rf['oiv']
+            t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+            t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+            t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t)
+
+        def decision(p, chit, rowT):
+            anyc = jnp.any(chit, axis=1, keepdims=True)
+            dec_s[p, 0] = jnp.sum(jnp.where(anyc, bits16, 0))
+            rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+            dec_s[p, 1] = jnp.sum(jnp.where(iota128 == 96, rowTi, 0))
+
+        def visit(p, cur):
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            if variant == 'empty':
+                dec_s[p, 0] = cur
+                return
+            src = btab_ref if variant == 'bf16' else tab_ref
+            row = src[pl.ds(cur, 1), :]
+            if variant == 'fetch':
+                # cheapest live use: one lane-sum into the t carry
+                t_s[p:p + 1, :] = t + row * 1e-30
+                dec_s[p, 0] = cur
+                return
+            rowT = jnp.transpose(row)
+            if variant == 'trans':
+                t_s[p:p + 1, :] = t + jnp.broadcast_to(
+                    rowT[0:1], (1, 128)) * 1e-30
+                dec_s[p, 0] = cur
+                return
+            if variant == 'bcast':
+                acc = None
+                for k in range(6):
+                    b = jnp.broadcast_to(
+                        rowT[k * 16:(k + 1) * 16], (ARITY, 128))
+                    acc = b if acc is None else acc + b
+                t_s[p:p + 1, :] = t + jnp.min(acc, axis=0,
+                                              keepdims=True) * 1e-30
+                dec_s[p, 0] = cur
+                return
+            chit = (slab_bf16 if variant == 'bf16' else slab)(rowT, rf, t)
+            if variant == 'slab':
+                # consume chit without the cross-lane reduce: sublane sum
+                csum = jnp.sum(chit.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                t_s[p:p + 1, :] = t + csum * 1e-30
+                dec_s[p, 0] = cur
+                return
+            decision(p, chit, rowT)
+            t_s[p:p + 1, :] = t * 1.0000001
+
+        def visit_leaf(p, cur):
+            rf = ray_fields(p)
+            rowL = jnp.transpose(tab_ref[pl.ds(cur, 1), :])
+            t = t_s[p:p + 1, :]
+            ox, oy, oz = rf['o']
+            dx, dy, dz = rf['d']
+
+            def f12(j):
+                return jnp.broadcast_to(
+                    rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                    (LEAF_MAX, 128))
+            v0x, v0y, v0z = f12(0), f12(1), f12(2)
+            e1x, e1y, e1z = f12(3), f12(4), f12(5)
+            e2x, e2y, e2z = f12(6), f12(7), f12(8)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                   & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+            take = jnp.any(okm, axis=0, keepdims=True)
+            t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+            dec_s[p, 0] = cur
+
+        def body(carry):
+            curs, steps = carry
+            new = []
+            for p in range(NPK):
+                if variant == 'leaf':
+                    visit_leaf(p, curs[p])
+                elif variant == 'dual':
+                    visit(p, curs[p])
+                    visit(p, (curs[p] + 1) % (N - 1))
+                else:
+                    visit(p, curs[p])
+            for p in range(NPK):
+                step = steps[p]
+                nxt = (curs[p] * 5 + 1) % (N - 1)
+                nxt = jnp.where(step + 1 >= T, -1, nxt)
+                new.append(nxt.astype(jnp.int32))
+            return (tuple(new), tuple(s + 1 for s in steps))
+
+        def cond(carry):
+            a = carry[0][0] >= 0
+            for p in range(1, NPK):
+                a = a | (carry[0][p] >= 0)
+            return a
+
+        for p in range(NPK):
+            t_s[p:p + 1, :] = jnp.full((1, 128), BIG / 2, jnp.float32)
+            dec_s[p, 0] = 0
+            dec_s[p, 1] = 0
+        init = (tuple(jnp.int32(p) for p in range(NPK)),
+                tuple(jnp.int32(0) for _ in range(NPK)))
+        jax.lax.while_loop(cond, body, init)
+        for p in range(NPK):
+            out_ref[p:p + 1, :] = t_s[p:p + 1, :]
+        for p in range(NPK, 8):
+            out_ref[p:p + 1, :] = jnp.zeros((1, 128), jnp.float32)
+    return kernel
+
+
+def pack_bf16(tab):
+    """96 f32 planes -> 48 packed bf16-pair lanes (+80 zero lanes)."""
+    planes = tab[:, :96].astype(jnp.bfloat16)
+    as_int = np.asarray(planes).view(np.uint16).astype(np.uint32)
+    as_int = as_int.reshape(-1, 48, 2)
+    packed = (as_int[..., 0] | (as_int[..., 1] << 16)).view(np.float32)
+    return jnp.asarray(
+        np.concatenate([packed, np.zeros((len(packed), 80), np.float32)],
+                       axis=1))
+
+
+def run(variant, G=256):
+    tab = np.random.default_rng(0).uniform(
+        -10, 10, (N, 128)).astype(np.float32)
+    btab = pack_bf16(tab)
+    tabj = jnp.asarray(tab)
+    rays = jnp.asarray(np.random.default_rng(1)
+                       .uniform(0.1, 1, (G * NPK * 16, 128))
+                       .astype(np.float32))
+    rayspec = pl.BlockSpec((NPK * 16, 128), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec((8, 128), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    f = jax.jit(lambda it, bt, r: pl.pallas_call(
+        make_kernel(variant),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * 8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM), rayspec],
+        out_specs=outspec,
+        scratch_shapes=[pltpu.SMEM((NPK, 4), jnp.int32),
+                        pltpu.VMEM((NPK, 128), jnp.float32)],
+    )(it, bt, r))
+    out = f(tabj, btab, rays)
+    _ = np.asarray(out[:1])
+    t0 = time.perf_counter()
+    K = 8
+    outs = [f(tabj, btab, rays) for _ in range(K)]
+    _ = np.asarray(outs[-1][:1])
+    for o in outs:
+        o.block_until_ready()
+    dt = (time.perf_counter() - t0) / K
+    iters = G * T
+    visits = iters * NPK * (2 if variant == 'dual' else 1)
+    print(f'{variant:6s}: {dt*1e3:7.2f} ms  {dt/iters*1e9:8.1f} ns/iter '
+          f'({dt/visits*1e9:6.1f} ns/visit)')
+
+
+if __name__ == '__main__':
+    for v in (sys.argv[1:] or ['empty', 'fetch', 'trans', 'bcast', 'slab',
+                               'full', 'bf16', 'dual', 'leaf']):
+        run(v)
