@@ -20,6 +20,12 @@ from .traverse_packet2 import MergedTable, traverse_packet2
 # comfortably in VMEM alongside the pipeline buffers
 PACKET_MAX_ROWS = 180_000
 
+# hybrid large-scene traversal: this many of the table's first (BFS = top of
+# tree, most-visited) rows stay VMEM-resident; only deeper visits DMA from
+# HBM (traverse_packet2 split). ~77 MB of the ~120 MB VMEM budget.
+HYBRID_TOP_ROWS = int(__import__('os').environ.get(
+    'CPT_HYBRID_ROWS', '150000'))
+
 
 # 'auto': packet kernel on TPU, wide path on CPU (Mosaic is TPU-only; the
 # interpreter is far too slow for full renders). Tests force 'on' to exercise
@@ -62,13 +68,15 @@ def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
     if wide_depth > 0 and use_packet2(dyn) and (
             PACKET_MODE == 'on' or not interp):
         n_rows = int(dyn.packet_merged.shape[0])
-        # beyond the VMEM cap the table stays in HBM with per-visit DMA —
+        # beyond the VMEM cap the table stays in HBM with per-visit DMA for
+        # rows past the hybrid split (the top of the tree stays resident) —
         # the 2M-triangle class traverses on the same kernel
+        hbm = n_rows > PACKET_MAX_ROWS
         return traverse_packet2(
             scene, MergedTable(dyn.packet_merged, wide_depth), ro, rd,
             t_max=t_max, active=active, any_hit=any_hit,
             stop_on_hit=stop_on_hit, order=order, interpret=interp,
-            hbm=n_rows > PACKET_MAX_ROWS)
+            hbm=hbm, split=(HYBRID_TOP_ROWS & ~7) if hbm else 0)
     if wide_depth > 0 and use_packet_path(dyn):
         tables = PacketTables(dyn.packet_inner, dyn.packet_leaf, wide_depth)
         return traverse_packet(scene, tables, ro, rd, t_max=t_max,

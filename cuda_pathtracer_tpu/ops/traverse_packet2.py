@@ -235,18 +235,33 @@ def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
     return pk.reshape(-1)
 
 
-def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
+def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
     """hbm=False: the whole merged table is VMEM-resident, rows sliced
     directly. hbm=True: the table stays in HBM (scenes beyond the VMEM cap,
     e.g. the 2M-triangle stress scene) and each packet's next row is DMA'd
     into a per-packet VMEM slot — the copy is issued right after the scalar
     decision and waited one loop iteration later, so the other interleaved
-    packets' vector work hides part of the ~1 us HBM latency."""
+    packets' vector work hides part of the ~1 us HBM latency.
+
+    split > 0 (hbm only) is the HYBRID scheme: the first `split` merged rows
+    — the TOP of the tree, because build_merged_table allocates rows in BFS
+    order — ride along as a VMEM-resident operand, and only visits past the
+    split DMA from HBM. Top rows are the most frequently visited, so for a
+    table just over the VMEM cap nearly every visit skips the DMA latency."""
     S = d + 3
 
-    def kernel(tab_ref, rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
-               dec_s, *dma):
-        row_s, sem = (dma[0], dma[1]) if hbm else (None, None)
+    def kernel(tab_ref, *rest):
+        if hbm and split > 0:
+            (top_ref, rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
+             dec_s, row_s, sem) = rest
+        elif hbm:
+            (rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
+             dec_s, row_s, sem) = rest
+            top_ref = None
+        else:
+            (rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
+             dec_s) = rest
+            top_ref = row_s = sem = None
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
         iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
@@ -257,16 +272,38 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
                              jnp.where(cur < 0, ~cur, cur))
 
         def start_fetch(p, cur):
-            pltpu.make_async_copy(
-                tab_ref.at[pl.ds(row_index(cur), 1)],
-                row_s.at[pl.ds(p, 1)],
-                sem.at[p]).start()
+            def issue():
+                pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(row_index(cur), 1)],
+                    row_s.at[pl.ds(p, 1)],
+                    sem.at[p]).start()
+            if split > 0:
+                pl.when(row_index(cur) >= split)(issue)
+            else:
+                issue()
 
-        def wait_fetch(p):
-            pltpu.make_async_copy(
-                tab_ref.at[pl.ds(0, 1)],
-                row_s.at[pl.ds(p, 1)],
-                sem.at[p]).wait()
+        def wait_fetch(p, cur=None):
+            def drain():
+                pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(0, 1)],
+                    row_s.at[pl.ds(p, 1)],
+                    sem.at[p]).wait()
+            if split > 0:
+                # same predicate the matching start_fetch used for this cur
+                pl.when(row_index(cur) >= split)(drain)
+            else:
+                drain()
+
+        def fetch_row(p, cur):
+            """The (1,128) node row for packet p at cur: VMEM slice when
+            resident, the packet's DMA slot otherwise."""
+            idx = row_index(cur)
+            if not hbm:
+                return tab_ref[pl.ds(idx, 1), :]
+            if split == 0:
+                return row_s[pl.ds(p, 1), :]
+            top = top_ref[pl.ds(jnp.minimum(idx, split - 1), 1), :]
+            return jnp.where(idx < split, top, row_s[pl.ds(p, 1), :])
 
         def visit(rb, p, cur):
             """Vector work for packet p at node cur (>=0 inner, <0 leaf via
@@ -283,12 +320,11 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
             sohp = rays[b + 11:b + 12] != 0.0
             oivx, oivy, oivz = (rays[b + 12:b + 13], rays[b + 13:b + 14],
                                 rays[b + 14:b + 15])
+            row = fetch_row(p, cur)
 
             @pl.when(alive & is_leaf)
             def _leaf():
-                rowL = jnp.transpose(
-                    row_s[pl.ds(p, 1), :] if hbm
-                    else tab_ref[pl.ds(~cur, 1), :])               # (128,1)
+                rowL = jnp.transpose(row)                          # (128,1)
                 t = t_s[p:p + 1, :]
                 best = gid_s[p:p + 1, :]
                 found = fnd_s[p:p + 1, :] != 0
@@ -330,9 +366,7 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
 
             @pl.when(alive & ~is_leaf)
             def _inner():
-                rowT = jnp.transpose(
-                    row_s[pl.ds(p, 1), :] if hbm
-                    else tab_ref[pl.ds(cur, 1), :])                # (128,1)
+                rowT = jnp.transpose(row)                          # (128,1)
                 t = t_s[p:p + 1, :]
                 found = fnd_s[p:p + 1, :] != 0
                 t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
@@ -424,7 +458,7 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
                 out = []
                 for p in range(npk):
                     if hbm:
-                        wait_fetch(p)
+                        wait_fetch(p, curs[p])
                     visit((base + p) * RAY_ROWS, p, curs[p])
                     r = scalar_packet(p, curs[p], sps[p])
                     if hbm:
@@ -449,9 +483,12 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
             init = (tuple(starts), tuple(jnp.int32(0) for _ in range(npk)))
             fin = jax.lax.while_loop(cond, body, init)
             del fin
-            if hbm:
+            if hbm and split == 0:
                 # drain the copies issued by the final iteration (or the
-                # init issues when the loop ran zero times)
+                # init issues when the loop ran zero times). With split > 0
+                # the loop exits only when every cur is DONE, whose
+                # row_index (0) is below the split — so no fetch was issued
+                # for it and there is nothing outstanding.
                 for p in range(npk):
                     wait_fetch(p)
             for p in range(npk):
@@ -467,9 +504,9 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm'))
+@partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm', 'split'))
 def _run_packets2(tab, rays, *, depth: int, interpret: bool,
-                  hbm: bool = False):
+                  hbm: bool = False, split: int = 0):
     gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     d = depth + 2
     S = d + 3
@@ -490,26 +527,34 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
     if hbm:
         scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA((NPK,))]
+    split = 0 if not hbm else min(split, int(tab.shape[0]))
+    in_specs = [tabspec, rayspec]
+    operands = [tab, rays]
+    if hbm and split > 0:
+        # BFS row order == top of the tree; keep it VMEM-resident
+        in_specs = [tabspec, pl.BlockSpec(memory_space=pltpu.VMEM), rayspec]
+        operands = [tab, tab[:split], rays]
     return pl.pallas_call(
-        _kernel(NPK, d, PPC, hbm),
+        _kernel(NPK, d, PPC, hbm, split),
         grid=(gn,),
         out_shape=out_shape,
-        in_specs=[tabspec, rayspec],
+        in_specs=in_specs,
         out_specs=outspec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(tab, rays)
+    )(*operands)
 
 
 def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
                      active=None, any_hit: bool = False, stop_on_hit=None,
                      order=None, interpret: bool = False,
-                     hbm: bool = False) -> Hit:
+                     hbm: bool = False, split: int = 0) -> Hit:
     """Contract-compatible with traverse_packet (same Hit, same prepass).
     hbm=True keeps the node table HBM-resident with per-visit DMA — the
-    large-scene path (see _kernel)."""
+    large-scene path; split>0 additionally keeps the top `split` BFS rows
+    VMEM-resident so only deep visits pay the DMA (see _kernel)."""
     from . import intersect as isect
     B = ro.shape[0]
     if t_max is None:
@@ -538,7 +583,7 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     rays = rays.reshape(-1, PACKET)
 
     outk = _run_packets2(table.rows, rays, depth=table.depth,
-                         interpret=interpret, hbm=hbm)
+                         interpret=interpret, hbm=hbm, split=split)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
     if order is not None:

@@ -239,3 +239,23 @@ def test_packet2_hbm_dma_parity(teapot_scene, merged_table):
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
     np.testing.assert_array_equal(np.asarray(h0.prim_id),
                                   np.asarray(h1.prim_id))
+
+
+def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
+    """The hybrid VMEM-top/HBM-DMA path (split > 0) must agree with the
+    VMEM-resident path exactly, for splits that land both fetch paths on
+    real visits (tiny split -> almost every visit DMAs; mid split -> the
+    top of the tree is resident, leaves DMA)."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True)
+    n_rows = int(merged_table.rows.shape[0])
+    for split in (8, max(8, (n_rows // 2) & ~7), n_rows):
+        h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd,
+                                   interpret=True, hbm=True, split=split)
+        np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                      np.asarray(h1.intersected), err_msg=f'split={split}')
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t),
+                                      err_msg=f'split={split}')
+        np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                      np.asarray(h1.prim_id), err_msg=f'split={split}')

@@ -250,7 +250,12 @@ def pack_bf16(tab):
                        axis=1))
 
 
+INTERPRET = os.environ.get('LAB3_INTERPRET', '0') == '1'
+
+
 def run(variant, G=256):
+    if INTERPRET:
+        G = 2
     tab = np.random.default_rng(0).uniform(
         -10, 10, (N, 128)).astype(np.float32)
     btab = pack_bf16(tab)
@@ -271,6 +276,7 @@ def run(variant, G=256):
         out_specs=outspec,
         scratch_shapes=[pltpu.SMEM((NPK, 4), jnp.int32),
                         pltpu.VMEM((NPK, 128), jnp.float32)],
+        interpret=INTERPRET,
     )(it, bt, r))
     out = f(tabj, btab, rays)
     _ = np.asarray(out[:1])
