@@ -45,6 +45,11 @@ TAIL2_START = int(_os.environ.get('CPT_TAIL2_START', '8'))
 TAIL2_DIV = int(_os.environ.get('CPT_TAIL2_DIV', '32'))
 TAIL_MIN_LANES = 131072
 
+# the reference trains the radiance cache for the first 100 converge samples
+# (HCACHE && converge && sampleIndex < 100, src/pathtracer.h:292); module
+# constant so unbiasedness tests can shrink the window
+GUIDE_TRAIN_SAMPLES = 100
+
 
 class _BounceCarry(NamedTuple):
     bounce: jnp.ndarray
@@ -712,12 +717,12 @@ class Pathtracer:
             # jit specializes guiding away entirely outside the training
             # window (one extra compile at the 100-sample boundary)
             g_on = ((not should_clear) and self.cache
-                    and self.sample_idx < 100)
-            # a batch straddling the 100-sample boundary is clamped so
+                    and self.sample_idx < GUIDE_TRAIN_SAMPLES)
+            # a batch straddling the training boundary is clamped so
             # guiding never trains past the reference's window (one extra
             # compile variant for the final training batch)
-            if g_on and self.sample_idx + use_spp > 100:
-                use_spp = max(1, 100 - self.sample_idx)
+            if g_on and self.sample_idx + use_spp > GUIDE_TRAIN_SAMPLES:
+                use_spp = max(1, GUIDE_TRAIN_SAMPLES - self.sample_idx)
             guide = jnp.asarray(g_on)
             ridx, rays = self._sample_dispatch(camera, guide, g_on,
                                                max_bounces, wd, use_spp)
