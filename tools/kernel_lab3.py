@@ -18,6 +18,12 @@ of the v2 INNER visit so the next lever is chosen by measurement:
            shift: halves the box fetch volume, slab in f32 after convert
   dual     `full` but TWO independent node rows visited per loop iteration
            (per-visit loop/scalar overhead amortized 2x)
+  share8   EIGHT independent full visits per iteration whose chit blocks
+           stack into one (128,128) tile with ONE shared cross-lane
+           any-reduce; per-packet (hitmask, meta) words come out of cheap
+           sublane-space sums. If v2 is reduce-bound rather than
+           vector-bound, this is the N-packet batched-step design's lower
+           bound (~Nx amortization of the serialized reduction)
   leaf     the production v2 LEAF visit (12-tri Moller + gid min) scripted
 
 All variants run T scripted steps per packet at NPK=2 with live t/dec SMEM
@@ -166,6 +172,30 @@ def make_kernel(variant):
             decision(p, chit, rowT)
             t_s[p:p + 1, :] = t * 1.0000001
 
+        def visit_share8(p, cur):
+            """8 scripted inner visits; slab blocks concatenated sublane-wise
+            and reduced across lanes ONCE for all 8."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            chits = []
+            metas = []
+            for q in range(8):
+                idx = (cur + q * 37) % (N - 1)
+                rowT = jnp.transpose(tab_ref[pl.ds(idx, 1), :])
+                chits.append(slab(rowT, rf, t))
+                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+                metas.append(jnp.sum(jnp.where(iota128 == 96, rowTi, 0)))
+            big = jnp.concatenate(chits, axis=0)           # (128, 128)
+            anyc = jnp.any(big, axis=1, keepdims=True)     # (128, 1) ONE
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            bit_s = 1 << (iota_s % ARITY)
+            for q in range(8):
+                grp = (iota_s >= q * ARITY) & (iota_s < (q + 1) * ARITY)
+                dec_s[p, 0] = jnp.sum(
+                    jnp.where(anyc & grp, bit_s, 0))       # sublane-space
+                dec_s[p, 1] = metas[q]
+            t_s[p:p + 1, :] = t * 1.0000001
+
         def visit_leaf(p, cur):
             rf = ray_fields(p)
             rowL = jnp.transpose(tab_ref[pl.ds(cur, 1), :])
@@ -210,6 +240,8 @@ def make_kernel(variant):
                 elif variant == 'dual':
                     visit(p, curs[p])
                     visit(p, (curs[p] + 1) % (N - 1))
+                elif variant == 'share8':
+                    visit_share8(p, curs[p])
                 else:
                     visit(p, curs[p])
             for p in range(NPK):
@@ -288,12 +320,13 @@ def run(variant, G=256):
         o.block_until_ready()
     dt = (time.perf_counter() - t0) / K
     iters = G * T
-    visits = iters * NPK * (2 if variant == 'dual' else 1)
+    per_it = {'dual': 2, 'share8': 8}.get(variant, 1)
+    visits = iters * NPK * per_it
     print(f'{variant:6s}: {dt*1e3:7.2f} ms  {dt/iters*1e9:8.1f} ns/iter '
           f'({dt/visits*1e9:6.1f} ns/visit)')
 
 
 if __name__ == '__main__':
     for v in (sys.argv[1:] or ['empty', 'fetch', 'trans', 'bcast', 'slab',
-                               'full', 'bf16', 'dual', 'leaf']):
+                               'full', 'bf16', 'dual', 'share8', 'leaf']):
         run(v)
