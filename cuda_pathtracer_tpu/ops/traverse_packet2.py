@@ -73,11 +73,22 @@ class MergedAux(NamedTuple):
 
 
 def build_merged_table(wide_rows: np.ndarray, depth: int,
-                       with_aux: bool = False):
+                       with_aux: bool = False,
+                       slot_order: str | None = None):
     """Derive the merged contiguous-children table from the unified wide
     table (accel/wide.py layout). BFS order guarantees every node's children
     are contiguous; slots are permuted inner-first (box fields permuted
-    identically, so the slab test is unchanged up to slot order)."""
+    identically, so the slab test is unchanged up to slot order).
+
+    slot_order: secondary ordering WITHIN the inner and leaf blocks (the
+    kernel descends lowest slot first, so this is a free build-time knob).
+    MEASURED NEGATIVE (tools/slot_order_study.py, sibenik bounce
+    wavefronts): 'area' (big children first) +4.6% union visits,
+    'area_asc' +5.2% — the stable wide-slot order ('default') inherits the
+    SAH collapse's spatial coherence and wins; keep it. Env override:
+    CPT_SLOT_ORDER."""
+    if slot_order is None:
+        slot_order = __import__('os').environ.get('CPT_SLOT_ORDER', 'default')
     src = np.asarray(wide_rows, np.float32)
     tag = src[:, 0]
     n = len(src)
@@ -129,7 +140,19 @@ def build_merged_table(wide_rows: np.ndarray, depth: int,
         inner_c = valid & (ctag > 0)
         # slot order: inner children first (stable), then leaves, then empty
         key = np.where(inner_c, 0, np.where(valid, 1, 2))
-        order = np.argsort(key, axis=1, kind='stable').astype(np.int32)
+        if slot_order in ('area', 'area_asc'):
+            # within each class, order by child surface area (the kernel
+            # descends lowest slot first)
+            pbox = src[frontier_old, INNER_BOX0:INNER_BOX0 + 96].reshape(
+                -1, 6, ARITY).astype(np.float64)
+            ext = np.maximum(pbox[:, 3:6] - pbox[:, 0:3], 0.0)
+            area = (ext[:, 0] * ext[:, 1] + ext[:, 0] * ext[:, 2]
+                    + ext[:, 1] * ext[:, 2])
+            area = np.nan_to_num(area, nan=0.0, posinf=0.0, neginf=0.0)
+            sec = -area if slot_order == 'area' else area
+            order = np.lexsort((sec, key), axis=1).astype(np.int32)
+        else:
+            order = np.argsort(key, axis=1, kind='stable').astype(np.int32)
         n_inner = inner_c.sum(1).astype(np.int32)
         sizes = nch.astype(np.int64)
         bases = next_free + np.concatenate(
