@@ -258,7 +258,11 @@ def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
     return pk.reshape(-1)
 
 
-def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
+V2B = bool(int(__import__('os').environ.get('CPT_V2B', '0')))
+
+
+def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
+            batched: bool = False):
     """hbm=False: the whole merged table is VMEM-resident, rows sliced
     directly. hbm=True: the table stays in HBM (scenes beyond the VMEM cap,
     e.g. the 2M-triangle stress scene) and each packet's next row is DMA'd
@@ -270,7 +274,12 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
     — the TOP of the tree, because build_merged_table allocates rows in BFS
     order — ride along as a VMEM-resident operand, and only visits past the
     split DMA from HBM. Top rows are the most frequently visited, so for a
-    table just over the VMEM cap nearly every visit skips the DMA latency."""
+    table just over the VMEM cap nearly every visit skips the DMA latency.
+
+    batched (CPT_V2B): all npk packets' slabs feed ONE shared cross-lane
+    any-reduce per step instead of one per visit (see visit_batch); meant
+    for npk >= 4 where amortizing the serialized reduction beats the extra
+    always-on slab blocks. Bit-exact vs the sequential path."""
     S = d + 3
 
     def kernel(tab_ref, *rest):
@@ -328,95 +337,144 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
             top = top_ref[pl.ds(jnp.minimum(idx, split - 1), 1), :]
             return jnp.where(idx < split, top, row_s[pl.ds(p, 1), :])
 
+        def ray_fields(b):
+            return dict(
+                o=(rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]),
+                d=(rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]),
+                iv=(rays[b + 6:b + 7], rays[b + 7:b + 8], rays[b + 8:b + 9]),
+                livep=rays[b + 10:b + 11] != 0.0,
+                sohp=rays[b + 11:b + 12] != 0.0,
+                oiv=(rays[b + 12:b + 13], rays[b + 13:b + 14],
+                     rays[b + 14:b + 15]))
+
+        def t_scan_of(rf, p):
+            t = t_s[p:p + 1, :]
+            found = fnd_s[p:p + 1, :] != 0
+            return t, found, jnp.where(rf['livep'] & ~(rf['sohp'] & found),
+                                       t, -BIG)
+
+        def leaf_body(rf, p, row):
+            rowL = jnp.transpose(row)                              # (128,1)
+            t, found, t_scan = t_scan_of(rf, p)
+            best = gid_s[p:p + 1, :]
+            ox, oy, oz = rf['o']
+            dx, dy, dz = rf['d']
+
+            def f12(j):
+                return jnp.broadcast_to(
+                    rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                    (LEAF_MAX, 128))
+            v0x, v0y, v0z = f12(0), f12(1), f12(2)
+            e1x, e1y, e1z = f12(3), f12(4), f12(5)
+            e2x, e2y, e2z = f12(6), f12(7), f12(8)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                   & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t_scan))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+            gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
+                rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
+            leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids,
+                                         jnp.int32(2 ** 30)),
+                               axis=0, keepdims=True)
+            take = jnp.any(okm, axis=0, keepdims=True)
+            t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+            gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
+            fnd_s[p:p + 1, :] = ((fnd_s[p:p + 1, :] != 0)
+                                 | take).astype(jnp.int32)
+
+        def inner_chit(rf, p, row):
+            """chit (16,128) + transposed row as VALUES (no reduction)."""
+            rowT = jnp.transpose(row)                              # (128,1)
+            _, _, t_scan = t_scan_of(rf, p)
+            ivx, ivy, ivz = rf['iv']
+            oivx, oivy, oivz = rf['oiv']
+
+            def f16(k):
+                return jnp.broadcast_to(
+                    rowT[PBOX0 + k * 16:PBOX0 + (k + 1) * 16],
+                    (ARITY, 128))
+            lox, loy, loz = f16(0), f16(1), f16(2)
+            hix, hiy, hiz = f16(3), f16(4), f16(5)
+            t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+            t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+            t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan)
+            return chit, rowT
+
+        def meta_word(rowT):
+            rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+            return jnp.sum(jnp.where(iota128 == PMETA, rowTi, 0))
+
         def visit(rb, p, cur):
             """Vector work for packet p at node cur (>=0 inner, <0 leaf via
             ~cur, DONE idle). Leaves (hitmask, meta) for inner visits in
             dec_s."""
             is_leaf = cur < 0
             alive = cur != DONE
-            b = rb
-            ox, oy, oz = rays[b + 0:b + 1], rays[b + 1:b + 2], rays[b + 2:b + 3]
-            dx, dy, dz = rays[b + 3:b + 4], rays[b + 4:b + 5], rays[b + 5:b + 6]
-            ivx, ivy, ivz = (rays[b + 6:b + 7], rays[b + 7:b + 8],
-                             rays[b + 8:b + 9])
-            livep = rays[b + 10:b + 11] != 0.0
-            sohp = rays[b + 11:b + 12] != 0.0
-            oivx, oivy, oivz = (rays[b + 12:b + 13], rays[b + 13:b + 14],
-                                rays[b + 14:b + 15])
+            rf = ray_fields(rb)
             row = fetch_row(p, cur)
 
             @pl.when(alive & is_leaf)
             def _leaf():
-                rowL = jnp.transpose(row)                          # (128,1)
-                t = t_s[p:p + 1, :]
-                best = gid_s[p:p + 1, :]
-                found = fnd_s[p:p + 1, :] != 0
-                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
-
-                def f12(j):
-                    return jnp.broadcast_to(
-                        rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
-                        (LEAF_MAX, 128))
-                v0x, v0y, v0z = f12(0), f12(1), f12(2)
-                e1x, e1y, e1z = f12(3), f12(4), f12(5)
-                e2x, e2y, e2z = f12(6), f12(7), f12(8)
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
-                sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = f * (dx * qx + dy * qy + dz * qz)
-                tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
-                       & (vv >= 0.0) & (u + vv <= 1.0)
-                       & (tt > 0.0) & (tt < t_scan))
-                ttm = jnp.where(okm, tt, BIG)
-                leaf_t = jnp.min(ttm, axis=0, keepdims=True)
-                gids = jnp.broadcast_to(jax.lax.bitcast_convert_type(
-                    rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32), (LEAF_MAX, 128))
-                leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids,
-                                             jnp.int32(2 ** 30)),
-                                   axis=0, keepdims=True)
-                take = jnp.any(okm, axis=0, keepdims=True)
-                t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
-                gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
-                fnd_s[p:p + 1, :] = (found | take).astype(jnp.int32)
+                leaf_body(rf, p, row)
 
             @pl.when(alive & ~is_leaf)
             def _inner():
-                rowT = jnp.transpose(row)                          # (128,1)
-                t = t_s[p:p + 1, :]
-                found = fnd_s[p:p + 1, :] != 0
-                t_scan = jnp.where(livep & ~(sohp & found), t, -BIG)
-
-                def f16(k):
-                    return jnp.broadcast_to(
-                        rowT[PBOX0 + k * 16:PBOX0 + (k + 1) * 16],
-                        (ARITY, 128))
-                lox, loy, loz = f16(0), f16(1), f16(2)
-                hix, hiy, hiz = f16(3), f16(4), f16(5)
-                t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
-                t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
-                t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                               jnp.maximum(t0y, t1y)),
-                                   jnp.maximum(t0z, t1z))
-                chit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_scan)
+                chit, rowT = inner_chit(rf, p, row)
                 # ONE cross-lane reduction (any over rays), then everything
                 # else lives in cheap sublane space
                 anyc = jnp.any(chit, axis=1, keepdims=True)        # (16,1)
                 dec_s[p, 0] = jnp.sum(jnp.where(anyc, bits16, 0))  # hitmask
-                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
-                dec_s[p, 1] = jnp.sum(
-                    jnp.where(iota128 == PMETA, rowTi, 0))         # meta
+                dec_s[p, 1] = meta_word(rowT)
+
+        def visit_batch(curs, base):
+            """Batched variant (CPT_V2B): every packet's leaf work and slab
+            run per packet, but the cross-lane any-reduce is ONE (16*npk,
+            128) -> (16*npk, 1) reduction serving all npk packets; hitmasks
+            come out of sublane-space group sums. A packet at a leaf (or
+            DONE) still contributes a slab block of don't-care values —
+            scalar_packet discards its hitmask via was_inner, identical to
+            the sequential path (bit-exact outputs)."""
+            chits = []
+            metas = []
+            for p in range(npk):
+                cur = curs[p]
+                rf = ray_fields((base + p) * RAY_ROWS)
+                row = fetch_row(p, cur)
+
+                @pl.when((cur != DONE) & (cur < 0))
+                def _leaf(rf=rf, p=p, row=row):
+                    leaf_body(rf, p, row)
+                chit, rowT = inner_chit(rf, p, row)
+                chits.append(chit)
+                metas.append(meta_word(rowT))
+            big = jnp.concatenate(chits, axis=0)        # (16*npk, 128)
+            anyc = jnp.any(big, axis=1, keepdims=True)  # ONE reduce
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (ARITY * npk, 1), 0)
+            bit_g = 1 << (iota_g % ARITY)
+            for p in range(npk):
+                grp = (iota_g >= p * ARITY) & (iota_g < (p + 1) * ARITY)
+                dec_s[p, 0] = jnp.sum(jnp.where(anyc & grp, bit_g, 0))
+                dec_s[p, 1] = metas[p]
 
         def scalar_packet(p, cur, sp):
             """Advance packet p: consume a fresh inner decision from
@@ -479,14 +537,25 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
             def body(carry):
                 curs, sps = carry
                 out = []
-                for p in range(npk):
+                if batched:
                     if hbm:
-                        wait_fetch(p, curs[p])
-                    visit((base + p) * RAY_ROWS, p, curs[p])
-                    r = scalar_packet(p, curs[p], sps[p])
-                    if hbm:
-                        start_fetch(p, r[0])
-                    out.append(r)
+                        for p in range(npk):
+                            wait_fetch(p, curs[p])
+                    visit_batch(curs, base)
+                    for p in range(npk):
+                        r = scalar_packet(p, curs[p], sps[p])
+                        if hbm:
+                            start_fetch(p, r[0])
+                        out.append(r)
+                else:
+                    for p in range(npk):
+                        if hbm:
+                            wait_fetch(p, curs[p])
+                        visit((base + p) * RAY_ROWS, p, curs[p])
+                        r = scalar_packet(p, curs[p], sps[p])
+                        if hbm:
+                            start_fetch(p, r[0])
+                        out.append(r)
                 return (tuple(r[0] for r in out), tuple(r[1] for r in out))
 
             for p in range(npk):
@@ -527,9 +596,11 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0):
     return kernel
 
 
-@partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm', 'split'))
+@partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm', 'split',
+                                   'batched'))
 def _run_packets2(tab, rays, *, depth: int, interpret: bool,
-                  hbm: bool = False, split: int = 0):
+                  hbm: bool = False, split: int = 0,
+                  batched: bool = False):
     gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     d = depth + 2
     S = d + 3
@@ -558,7 +629,7 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
         in_specs = [tabspec, pl.BlockSpec(memory_space=pltpu.VMEM), rayspec]
         operands = [tab, tab[:split], rays]
     return pl.pallas_call(
-        _kernel(NPK, d, PPC, hbm, split),
+        _kernel(NPK, d, PPC, hbm, split, batched),
         grid=(gn,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -573,7 +644,8 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
 def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
                      active=None, any_hit: bool = False, stop_on_hit=None,
                      order=None, interpret: bool = False,
-                     hbm: bool = False, split: int = 0) -> Hit:
+                     hbm: bool = False, split: int = 0,
+                     batched: bool | None = None) -> Hit:
     """Contract-compatible with traverse_packet (same Hit, same prepass).
     hbm=True keeps the node table HBM-resident with per-visit DMA — the
     large-scene path; split>0 additionally keeps the top `split` BFS rows
@@ -606,7 +678,8 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     rays = rays.reshape(-1, PACKET)
 
     outk = _run_packets2(table.rows, rays, depth=table.depth,
-                         interpret=interpret, hbm=hbm, split=split)
+                         interpret=interpret, hbm=hbm, split=split,
+                         batched=V2B if batched is None else batched)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
     if order is not None:

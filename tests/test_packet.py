@@ -259,3 +259,24 @@ def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
                                       err_msg=f'split={split}')
         np.testing.assert_array_equal(np.asarray(h0.prim_id),
                                       np.asarray(h1.prim_id), err_msg=f'split={split}')
+
+
+def test_packet2_batched_parity(teapot_scene, merged_table):
+    """The batched shared-reduce variant (CPT_V2B) computes the same
+    hitmask/meta decisions as the sequential path, so outputs must be
+    bit-exact — including through the hybrid split fetch."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True)
+    h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               batched=True)
+    np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                  np.asarray(h1.intersected))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                  np.asarray(h1.prim_id))
+    h2 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               batched=True, hbm=True, split=8)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
+    np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                  np.asarray(h2.prim_id))
