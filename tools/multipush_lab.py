@@ -82,6 +82,10 @@ def run(kind, name, o, d, order, anyhit):
         f = jax.jit(lambda o, d, order: tpk.traverse_packet(
             arrays, tables1, o, d, order=order, any_hit=anyhit,
             interpret=INTERP))
+    elif kind == 'v2b':
+        f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
+            arrays, merged, o, d, order=order, any_hit=anyhit,
+            interpret=INTERP, batched=True))
     else:
         f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
             arrays, merged, o, d, order=order, any_hit=anyhit,
@@ -101,16 +105,23 @@ def run(kind, name, o, d, order, anyhit):
     return out, dt
 
 
+KINDS = sys.argv[1:] or ['v1', 'v2']
+
 for name, (o, d, order, anyhit) in WAVES.items():
-    o1, dt1 = run('v1', name, o, d, order, anyhit)
-    o2, dt2 = run('v2', name, o, d, order, anyhit)
+    outs = {}
+    for kind in KINDS:
+        outs[kind], dt = run(kind, name, o, d, order, anyhit)
+        outs[kind + '_dt'] = dt
+    base = KINDS[0]
+    line = f'{name:7s}:'
+    for kind in KINDS:
+        dt = outs[kind + '_dt']
+        line += f'  {kind} {dt*1e3:7.2f} ms ({B/dt/1e6:6.2f} Mrays/s)'
+    o1, o2 = outs[base], outs[KINDS[-1]]
     t1, t2 = np.asarray(o1.t), np.asarray(o2.t)
-    i1, i2 = np.asarray(o1.intersected), np.asarray(o2.intersected)
-    p1, p2 = np.asarray(o1.prim_id), np.asarray(o2.prim_id)
     tmis = (~np.isclose(t1, t2, rtol=1e-6, atol=1e-6)).sum()
-    imis = (i1 != i2).sum()
-    pmis = (p1 != p2).sum()
-    print(f'{name:7s}: v1 {dt1*1e3:7.2f} ms ({B/dt1/1e6:6.2f} Mrays/s)  '
-          f'v2 {dt2*1e3:7.2f} ms ({B/dt2/1e6:6.2f} Mrays/s)  '
-          f'speedup {dt1/dt2:5.2f}x  mismatches t={tmis} hit={imis} '
-          f'pid={pmis} / {B}')
+    imis = (np.asarray(o1.intersected) != np.asarray(o2.intersected)).sum()
+    pmis = (np.asarray(o1.prim_id) != np.asarray(o2.prim_id)).sum()
+    line += (f'  speedup {outs[base + "_dt"]/outs[KINDS[-1] + "_dt"]:5.2f}x'
+             f'  mismatches t={tmis} hit={imis} pid={pmis} / {B}')
+    print(line)
