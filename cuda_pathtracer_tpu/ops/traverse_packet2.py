@@ -335,7 +335,10 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             if split == 0:
                 return row_s[pl.ds(p, 1), :]
             top = top_ref[pl.ds(jnp.minimum(idx, split - 1), 1), :]
-            return jnp.where(idx < split, top, row_s[pl.ds(p, 1), :])
+            # vector-predicate select (scalar-pred selects over vectors are
+            # shakier in Mosaic; a broadcast int compare always lowers)
+            idxv = jnp.full((1, 128), idx, jnp.int32)
+            return jnp.where(idxv < split, top, row_s[pl.ds(p, 1), :])
 
         def ray_fields(b):
             return dict(
