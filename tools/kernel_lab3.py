@@ -18,6 +18,11 @@ of the v2 INNER visit so the next lever is chosen by measurement:
            shift: halves the box fetch volume, slab in f32 after convert
   dual     `full` but TWO independent node rows visited per loop iteration
            (per-visit loop/scalar overhead amortized 2x)
+  mxu      `full` but the cross-lane any-reduce is ONE MXU matmul tile:
+           chit_f32 @ ones(128,128) -> per-slot hit counts in column 0;
+           prices the systolic array as a lane-reduction engine (the VPU
+           reduce is a ~7-step shuffle chain; the MXU does it in one pass
+           at higher latency — which wins depends on what the step hides)
   share8   EIGHT independent full visits per iteration whose chit blocks
            stack into one (128,128) tile with ONE shared cross-lane
            any-reduce; per-packet (hitmask, meta) words come out of cheap
@@ -126,8 +131,17 @@ def make_kernel(variant):
                                jnp.maximum(t0z, t1z))
             return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t)
 
+        ones128 = jnp.ones((128, 128), jnp.float32)
+
         def decision(p, chit, rowT):
-            anyc = jnp.any(chit, axis=1, keepdims=True)
+            if variant == 'mxu':
+                cnt = jax.lax.dot_general(
+                    chit.astype(jnp.float32), ones128,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (16,128) row sums
+                anyc = cnt[:, 0:1] > 0.0
+            else:
+                anyc = jnp.any(chit, axis=1, keepdims=True)
             dec_s[p, 0] = jnp.sum(jnp.where(anyc, bits16, 0))
             rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
             dec_s[p, 1] = jnp.sum(jnp.where(iota128 == 96, rowTi, 0))
