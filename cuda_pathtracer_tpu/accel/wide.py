@@ -80,13 +80,28 @@ def _collect_leaf_ranges(nodes: BVHNodes, idx: int):
 
 
 def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
-                   tri_v2: np.ndarray, tri_index_base: int = 0) -> WideBVH:
+                   tri_v2: np.ndarray, tri_index_base: int = 0,
+                   fill: str | None = None) -> WideBVH:
     """Collapse a binary BVH into the fat-row 16-ary layout.
 
     tri_v0/1/2: the triangle block the binary build's leaf ranges refer to
     (already permuted). tri_index_base offsets the stored triangle indices so
     they address a global flat triangle array.
+
+    fill: slot-fill policy for the collapse. 'default' stops expanding a
+    node's slots once every slot holds <= LEAF_MAX triangles — bottom nodes
+    can end up with 2-4 of their 16 slots used, yet the packet kernel's slab
+    test prices all 16 lanes either way. An integer string N keeps expanding
+    the largest-area internal slot whose subtree has > N triangles until all
+    16 slots are used: more (tighter-boxed) leaf children per node, fewer
+    inner levels near the bottom — and in the v2 kernel an inner visit pays
+    the serialized cross-lane any-reduce while a leaf visit does not, so
+    trading inner visits for leaf visits is favorable (tools/fill_study.py
+    prices the visit-count side; kernel_lab3 the per-visit side).
+    None reads CPT_WIDE_FILL (default 'default').
     """
+    if fill is None:
+        fill = __import__('os').environ.get('CPT_WIDE_FILL', 'default')
     n_tris_counts: dict[int, int] = {}
 
     def tri_count(i):
@@ -146,6 +161,23 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
             s = slots.pop(best)
             slots.insert(best, int(nodes.left[s]) + 1)
             slots.insert(best, int(nodes.left[s]))
+
+        if fill != 'default':
+            # optional fill pass (runs AFTER every mandatory expansion, so
+            # it can only consume genuinely spare slots)
+            min_tris = int(fill)
+            while len(slots) < ARITY:
+                best, best_a = -1, -1.0
+                for s_i, s in enumerate(slots):
+                    if nodes.leaf_count[s] == 0 and tri_count(s) > min_tris:
+                        a = _area(s)
+                        if a > best_a:
+                            best, best_a = s_i, a
+                if best < 0:
+                    break
+                s = slots.pop(best)
+                slots.insert(best, int(nodes.left[s]) + 1)
+                slots.insert(best, int(nodes.left[s]))
 
         row_id = len(rows)
         rows.append(np.zeros(ROW, np.float32))  # reserve position

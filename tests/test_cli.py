@@ -20,7 +20,7 @@ def test_cli_headless_render(tmp_path, reference_assets):
          '--width', '48', '--height', '32', '--spp', '2',
          '--out', out, '--state', state,
          '--asset-dir', reference_assets],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
     from PIL import Image
