@@ -203,6 +203,66 @@ def sim_shareK(o, d, K, policy='inner-first'):
                 t=t)
 
 
+def sim_share_entries(o, d, K):
+    """EXACT kernel-schedule sim: typed (bits, base) entry stacks; an inner
+    step unspools up to K inner children from the stack top (remainder
+    written back), a leaf step likewise from the leaf stack; leaf-full
+    policy (leaf step when >= K leaf children pending or no inner work).
+    Tracks max stack depths for SMEM sizing."""
+    inv = np.where(np.abs(d) < 1e-20, 1e20, 1.0 / d).astype(np.float32)
+    oiv = (o * inv).astype(np.float32)
+    t = np.full(PACKET, 1e30, np.float32)
+    stk_i = [(1, 0)]        # (bits, base): children {base+j for set j}
+    stk_l = []
+    cnt_l = 0
+    iv = lv = steps_i = steps_l = 0
+    max_i = max_l = 0
+    while stk_i or stk_l:
+        max_i = max(max_i, len(stk_i))
+        max_l = max(max_l, len(stk_l))
+        take_leaf = bool((cnt_l >= K or not stk_i) and stk_l)
+        stk = stk_l if take_leaf else stk_i
+        idxs = []
+        bits, base = stk.pop()
+        for _ in range(K):
+            if not bits:
+                if not stk:
+                    break
+                bits, base = stk.pop()
+            low = bits & (-bits)
+            idxs.append(base + (low.bit_length() - 1))
+            bits ^= low
+        if bits:
+            stk.append((bits, base))
+        t_snap = t.copy()
+        if take_leaf:
+            steps_l += 1
+            lv += len(idxs)
+            cnt_l -= len(idxs)
+            for cur in idxs:
+                tm, any_ok = leaf_tmin(cur, o, d, t_snap)
+                t = np.where(any_ok, np.minimum(t, tm), t)
+        else:
+            steps_i += 1
+            iv += len(idxs)
+            for cur in idxs:
+                hm = slab_chit(cur, inv, oiv, t_snap)
+                meta = int(metas[cur])
+                b = meta & ((1 << META_BASE_BITS) - 1)
+                ni = meta >> META_BASE_BITS
+                bi = hm & ((1 << ni) - 1)
+                bl = hm >> ni
+                if bi:
+                    stk_i.append((bi, b))
+                if bl:
+                    stk_l.append((bl, b + ni))
+                    cnt_l += bin(bl).count('1')
+    return dict(iv=iv, lv=lv, steps_i=steps_i, steps_l=steps_l,
+                fill_i=iv / max(1, steps_i * K),
+                fill_l=lv / max(1, steps_l * K),
+                max_i=max_i, max_l=max_l, t=t)
+
+
 rng = np.random.default_rng(7)
 sel = rng.choice(B // PACKET, size=min(NP_, B // PACKET), replace=False)
 
@@ -256,7 +316,7 @@ C_S8_L = 206.0 * 8        # estimate: loop/8 + leaf vector (no x-lane reduce)
 
 tot = {}
 base_iv = base_lv = 0
-POLICIES = ['leaf-first', 'inner-first', 'leaf-full']
+POLICIES = ['leaf-first', 'inner-first', 'leaf-full', 'entries']
 res = {(k, p): [] for k in KS for p in POLICIES}
 for p in range(NPK_SIM):
     sl = slice(p * PACKET, (p + 1) * PACKET)
@@ -266,7 +326,10 @@ for p in range(NPK_SIM):
     base_lv += lv
     for k in KS:
         for pol in POLICIES:
-            res[(k, pol)].append(sim_shareK(o_, d_, k, policy=pol))
+            if pol == 'entries':
+                res[(k, pol)].append(sim_share_entries(o_, d_, k))
+            else:
+                res[(k, pol)].append(sim_shareK(o_, d_, k, policy=pol))
 
 rays = NPK_SIM * PACKET
 ns_v2 = (base_iv * C_V2_I + base_lv * C_V2_L) / rays
@@ -281,8 +344,12 @@ for k in KS:
         si = sum(r['steps_i'] for r in rs)
         sl_ = sum(r['steps_l'] for r in rs)
         ns = (si * C_S8_I * k / 8 + sl_ * C_S8_L * k / 8) / rays
+        extra = ''
+        if name == 'entries':
+            extra = (f' maxstk {max(r["max_i"] for r in rs)}i/'
+                     f'{max(r["max_l"] for r in rs)}l')
         print(f'K={k:2d} {name:11s}: inner {iv/NPK_SIM:7.1f} '
               f'(x{iv/base_iv:.3f}) leaf {lv/NPK_SIM:7.1f} '
               f'(x{lv/base_lv:.3f}) steps {si/NPK_SIM:6.1f}+{sl_/NPK_SIM:6.1f} '
               f'fill {iv/max(1,si*k):.2f}/{lv/max(1,sl_*k):.2f} '
-              f'-> {ns:.0f} ns/ray ({ns_v2/ns:.2f}x vs v2)')
+              f'-> {ns:.0f} ns/ray ({ns_v2/ns:.2f}x vs v2){extra}')
