@@ -54,6 +54,9 @@ PPC = int(__import__('os').environ.get('CPT_PPC2', '8'))
 # merged-row lane layout: inner rows keep boxes at [0:96] and carry ONE meta
 # word; leaf rows keep the v1 leaf layout (tris at [0:108], gids [108:120])
 PMETA = 96            # meta int32 bitcast: base | (n_inner << 20)
+PMETA2 = 97           # mask_inner int32 bitcast: (1 << n_inner) - 1 — the
+#                       share-K scalar path splits hitmasks without the
+#                       dynamic shifts Mosaic's scalar core lacks
 META_BASE_BITS = 20
 
 
@@ -173,6 +176,8 @@ def build_merged_table(wide_rows: np.ndarray, depth: int,
         metas = (bases.astype(np.int32)
                  | (n_inner << META_BASE_BITS)).view(np.float32)
         rows[frontier_new, PMETA] = metas
+        rows[frontier_new, PMETA2] = ((np.int32(1) << n_inner)
+                                      - 1).astype(np.int32).view(np.float32)
         slot_order_m[frontier_new] = order
         # children: new ids in row-major (f, slot) order == allocation order
         child_old = ordered_refs[ordered_valid]
@@ -209,6 +214,7 @@ class MergedRefitMaps(NamedTuple):
     is_leaf: jnp.ndarray      # bool[NM]
     slot_order: jnp.ndarray   # i32[NM, 16]
     meta: jnp.ndarray         # f32[NM] static meta word (bitcast int)
+    meta2: jnp.ndarray        # f32[NM] static mask_inner word (bitcast int)
 
 
 def build_refit_maps(wide_rows: np.ndarray, depth: int) -> MergedRefitMaps:
@@ -227,12 +233,14 @@ def build_refit_maps(wide_rows: np.ndarray, depth: int) -> MergedRefitMaps:
     old_of = np.zeros(nm, np.int32)
     old_of[aux.row_map] = np.arange(len(aux.row_map), dtype=np.int32)
     meta = np.asarray(table.rows)[:, PMETA].copy()
+    meta2 = np.asarray(table.rows)[:, PMETA2].copy()
     return MergedRefitMaps(
         from_inner=jnp.asarray(inner_pos[old_of]),
         from_leaf=jnp.asarray(leaf_pos[old_of]),
         is_leaf=jnp.asarray(aux.is_leaf),
         slot_order=jnp.asarray(aux.slot_order),
-        meta=jnp.asarray(meta))
+        meta=jnp.asarray(meta),
+        meta2=jnp.asarray(meta2))
 
 
 @jax.jit
@@ -244,8 +252,9 @@ def derive_merged(inner_rows, leaf_rows, maps: MergedRefitMaps):
     boxes = gi[:, :96].reshape(nm, 6, ARITY)
     boxes = jnp.take_along_axis(
         boxes, maps.slot_order[:, None, :], axis=2).reshape(nm, 96)
-    pad = jnp.zeros((nm, 128 - 97), jnp.float32)
-    inner_m = jnp.concatenate([boxes, maps.meta[:, None], pad], axis=1)
+    pad = jnp.zeros((nm, 128 - 98), jnp.float32)
+    inner_m = jnp.concatenate([boxes, maps.meta[:, None],
+                               maps.meta2[:, None], pad], axis=1)
     gl = leaf_rows[jnp.clip(maps.from_leaf, 0, leaf_rows.shape[0] - 1)]
     return jnp.where(maps.is_leaf[:, None], gl, inner_m)
 
@@ -260,9 +269,13 @@ def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
 
 V2B = bool(int(__import__('os').environ.get('CPT_V2B', '0')))
 
+# share-K batched steps (the kernel_lab3 `share8` design, priced 140.7 vs
+# 433 ns/visit): 0 = off (sequential v2 steps). VMEM-resident tables only.
+SHARE = int(__import__('os').environ.get('CPT_SHARE', '0'))
+
 
 def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
-            batched: bool = False):
+            batched: bool = False, share: int = 0):
     """hbm=False: the whole merged table is VMEM-resident, rows sliced
     directly. hbm=True: the table stays in HBM (scenes beyond the VMEM cap,
     e.g. the 2M-triangle stress scene) and each packet's next row is DMA'd
@@ -594,16 +607,263 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                 t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
                 t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
 
+        # ---- share-K batched steps (CPT_SHARE) -------------------------
+        # kernel_lab3 measured the (16,128) slab ops as ISSUE-bound (2
+        # native sublane registers deep); stacking `share` visits' blocks
+        # into one (16*share,128) tile makes every op share*2 registers
+        # deep and amortizes the loop + the one cross-lane any-reduce
+        # share x: 140.7 vs 433.2 ns/visit scripted. tools/sharek_sim.py
+        # prices the real schedule at 2.09x on sorted bounce wavefronts
+        # (visit inflation 1.07/1.12, fill 0.88/0.97, leaf-full policy).
+        #
+        # Entries are TYPED at push time — children are contiguous
+        # inner-first, so a hitmask splits into (hm & mask_inner) and the
+        # rest, both in SLOT space with the same base (child = base + j; no
+        # dynamic shifts, Mosaic scalar core has no variable shl). The two
+        # typed stacks share one SMEM array: inner entries grow UP from 0,
+        # leaf entries grow DOWN from CAPT-1.
+        CAPT = 8 * S
+
+        def bit_index(low):
+            """Index of an isolated bit: 4 constant-mask tests (scalar)."""
+            return (jnp.where((low & 0xAAAA) != 0, 1, 0)
+                    + jnp.where((low & 0xCCCC) != 0, 2, 0)
+                    + jnp.where((low & 0xF0F0) != 0, 4, 0)
+                    + jnp.where((low & 0xFF00) != 0, 8, 0))
+
+        def popcount16(v):
+            b = v - ((v >> 1) & 0x5555)
+            b = (b & 0x3333) + ((b >> 2) & 0x3333)
+            b = (b + (b >> 4)) & 0x0F0F
+            return (b + (b >> 8)) & 0x1F
+
+        def unspool_slots(p, do_leaf, spi, spl):
+            """Pop up to `share` child indices of the chosen type off the
+            packet's typed stack (remainder of the last entry written
+            back). Returns (idxs, vals, spi2, spl2, n_popped)."""
+            dirn = jnp.where(do_leaf, 1, -1)
+            rd = jnp.where(do_leaf, CAPT - spl, spi - 1)
+            sp = jnp.where(do_leaf, spl, spi)
+            bits = jnp.int32(0)
+            eb = jnp.int32(0)
+            idxs, vals = [], []
+            nval = jnp.int32(0)
+            for _ in range(share):
+                need = (bits == 0) & (sp > 0)
+                rdc = jnp.clip(rd, 0, CAPT - 1)
+                nb = stk_b[p, rdc]
+                nm = stk_m[p, rdc]
+                bits = jnp.where(need, nb, bits)
+                eb = jnp.where(need, nm, eb)
+                sp = jnp.where(need, sp - 1, sp)
+                rd = jnp.where(need, rd + dirn, rd)
+                low = bits & (-bits)
+                val = low != 0
+                idxs.append(jnp.where(val, eb + bit_index(low), 0))
+                vals.append(val)
+                nval = nval + val.astype(jnp.int32)
+                bits = bits ^ low
+            rem = bits != 0
+            wr = jnp.clip(jnp.where(do_leaf, CAPT - sp - 1, sp),
+                          0, CAPT - 1)
+
+            @pl.when(rem)
+            def _():
+                stk_b[p, wr] = bits
+                stk_m[p, wr] = eb
+            sp = sp + rem.astype(jnp.int32)
+            spi2 = jnp.where(do_leaf, spi, sp)
+            spl2 = jnp.where(do_leaf, sp, spl)
+            return idxs, vals, spi2, spl2, nval
+
+        def inner_share(rf, p, idxs):
+            """`share` slab blocks under ONE cross-lane any-reduce; the
+            (hitmask, meta, mask_inner) words land in dec_s sublane-space."""
+            chits = []
+            for s in range(share):
+                row = tab_ref[pl.ds(idxs[s], 1), :]
+                chit, rowT = inner_chit(rf, p, row)
+                chits.append(chit)
+                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+                dec_s[p, 3 * s + 1] = jnp.sum(
+                    jnp.where(iota128 == PMETA, rowTi, 0))
+                dec_s[p, 3 * s + 2] = jnp.sum(
+                    jnp.where(iota128 == PMETA2, rowTi, 0))
+            big = jnp.concatenate(chits, axis=0)       # (16*share, 128)
+            anyc = jnp.any(big, axis=1, keepdims=True)  # the ONE reduce
+            iota_g = jax.lax.broadcasted_iota(
+                jnp.int32, (ARITY * share, 1), 0)
+            bit_g = 1 << (iota_g % ARITY)
+            for s in range(share):
+                grp = ((iota_g >= s * ARITY) & (iota_g < (s + 1) * ARITY))
+                dec_s[p, 3 * s] = jnp.sum(jnp.where(anyc & grp, bit_g, 0))
+
+        def leaf_share(rf, p, idxs, vals):
+            """`share` leaf visits in one (12*share,128) Möller pass; one
+            batched t/gid/found update. Exact-t ties ACROSS leaves in a
+            batch resolve to the lowest gid (same measure-zero tie class
+            the multi-push design already documents)."""
+            t, found, t_scan = t_scan_of(rf, p)
+            best = gid_s[p:p + 1, :]
+            ox, oy, oz = rf['o']
+            dx, dy, dz = rf['d']
+            blocks = []
+            gidbl = []
+            valbl = []
+            for s in range(share):
+                rowL = jnp.transpose(tab_ref[pl.ds(idxs[s], 1), :])
+
+                def f12(j, rowL=rowL):
+                    return jnp.broadcast_to(
+                        rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                        (LEAF_MAX, PACKET))
+                blocks.append([f12(j) for j in range(9)])
+                gidbl.append(jnp.broadcast_to(jax.lax.bitcast_convert_type(
+                    rowL[PGIDS:PGIDS + LEAF_MAX], jnp.int32),
+                    (LEAF_MAX, PACKET)))
+                valbl.append(jnp.full((LEAF_MAX, PACKET),
+                                      vals[s].astype(jnp.int32)))
+            cat = [jnp.concatenate([b[j] for b in blocks], axis=0)
+                   for j in range(9)]
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cat
+            gids = jnp.concatenate(gidbl, axis=0)
+            valm = jnp.concatenate(valbl, axis=0) != 0
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = (valm & (jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0)
+                   & (u <= 1.0) & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t_scan))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+            leaf_gid = jnp.min(jnp.where(ttm == leaf_t, gids,
+                                         jnp.int32(2 ** 30)),
+                               axis=0, keepdims=True)
+            take = jnp.any(okm, axis=0, keepdims=True)
+            t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+            gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
+            fnd_s[p:p + 1, :] = ((fnd_s[p:p + 1, :] != 0)
+                                 | take).astype(jnp.int32)
+
+        def push_share(p, gate, vals, spi, spl, cnt):
+            """Split each fresh hitmask into typed entries (slot space,
+            shared base) and push. `gate` (False on leaf/dead steps) keeps
+            stale dec_s content from pushing. Overflow drops children, like
+            the sequential path's sp < S guard (never reached: sim max
+            depth 15+15 vs CAPT)."""
+            for s in range(share):
+                hm = dec_s[p, 3 * s]
+                mt = dec_s[p, 3 * s + 1]
+                mi = dec_s[p, 3 * s + 2]
+                eb = mt & ((1 << META_BASE_BITS) - 1)
+                bi = hm & mi
+                bl = hm ^ bi
+                room = (spi + spl) < CAPT
+                pushi = gate & vals[s] & (bi != 0) & room
+                wri = jnp.clip(spi, 0, CAPT - 1)
+
+                @pl.when(pushi)
+                def _():
+                    stk_b[p, wri] = bi
+                    stk_m[p, wri] = eb
+                spi = spi + pushi.astype(jnp.int32)
+                room = (spi + spl) < CAPT
+                pushl = gate & vals[s] & (bl != 0) & room
+                wrl = jnp.clip(CAPT - spl - 1, 0, CAPT - 1)
+
+                @pl.when(pushl)
+                def _():
+                    stk_b[p, wrl] = bl
+                    stk_m[p, wrl] = eb
+                spl = spl + pushl.astype(jnp.int32)
+                cnt = cnt + jnp.where(pushl, popcount16(bl), 0)
+            return spi, spl, cnt
+
+        def run_set_share(c):
+            base = c * npk
+
+            def cond(carry):
+                aliv = None
+                for p in range(npk):
+                    a = (carry[p][0] > 0) | (carry[p][1] > 0)
+                    aliv = a if aliv is None else (aliv | a)
+                return aliv
+
+            def body(carry):
+                out = []
+                for p in range(npk):
+                    spi, spl, cnt = carry[p]
+                    alive = (spi > 0) | (spl > 0)
+                    # leaf-full policy: drain leaves as soon as a full
+                    # batch is pending (early t-tightening at full fill)
+                    do_leaf = ((cnt >= share) | (spi == 0)) & (spl > 0)
+                    idxs, vals, spi, spl, nval = unspool_slots(
+                        p, do_leaf, spi, spl)
+                    cnt = cnt - jnp.where(do_leaf, nval, 0)
+                    rf = ray_fields((base + p) * RAY_ROWS)
+
+                    @pl.when(alive & do_leaf)
+                    def _leafs(rf=rf, p=p, idxs=idxs, vals=vals):
+                        leaf_share(rf, p, idxs, vals)
+
+                    @pl.when(alive & ~do_leaf)
+                    def _inners(rf=rf, p=p, idxs=idxs):
+                        inner_share(rf, p, idxs)
+                    spi, spl, cnt = push_share(p, alive & ~do_leaf, vals,
+                                               spi, spl, cnt)
+                    out.append((spi.astype(jnp.int32),
+                                spl.astype(jnp.int32),
+                                cnt.astype(jnp.int32)))
+                return tuple(out)
+
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                t_s[p:p + 1, :] = rays[b + 9:b + 10]
+            gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
+            fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+            init = []
+            for p in range(npk):
+                b = (base + p) * RAY_ROWS
+                any_live = jnp.sum((rays[b + 10:b + 11] != 0.0)
+                                   .astype(jnp.int32))
+                live = any_live > 0
+                # root pseudo-entry: child 0 (= the inner root row)
+                stk_b[p, 0] = jnp.int32(1)
+                stk_m[p, 0] = jnp.int32(0)
+                init.append((jnp.where(live, 1, 0).astype(jnp.int32),
+                             jnp.int32(0), jnp.int32(0)))
+            fin = jax.lax.while_loop(cond, body, tuple(init))
+            del fin
+            for p in range(npk):
+                o = 4 * (base + p)
+                t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
+                t_out[o + 1:o + 2, :] = jax.lax.bitcast_convert_type(
+                    gid_s[p:p + 1, :], jnp.float32)
+                t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
+                t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
+
         for c in range(ppc):
-            run_set(c)
+            if share:
+                run_set_share(c)
+            else:
+                run_set(c)
     return kernel
 
 
 @partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm', 'split',
-                                   'batched'))
+                                   'batched', 'share'))
 def _run_packets2(tab, rays, *, depth: int, interpret: bool,
                   hbm: bool = False, split: int = 0,
-                  batched: bool = False):
+                  batched: bool = False, share: int = 0):
     gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     d = depth + 2
     S = d + 3
@@ -615,12 +875,21 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
         memory_space=pltpu.ANY if hbm else pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
                                      jnp.float32)
-    scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
-               pltpu.SMEM((NPK, S + 1), jnp.int32),
-               pltpu.VMEM((NPK, PACKET), jnp.float32),
-               pltpu.VMEM((NPK, PACKET), jnp.int32),
-               pltpu.VMEM((NPK, PACKET), jnp.int32),
-               pltpu.SMEM((NPK, 2), jnp.int32)]
+    if share:
+        assert not hbm, 'share-K steps are VMEM-resident-table only'
+        scratch = [pltpu.SMEM((NPK, 8 * S), jnp.int32),
+                   pltpu.SMEM((NPK, 8 * S), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.float32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.SMEM((NPK, 3 * share), jnp.int32)]
+    else:
+        scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
+                   pltpu.SMEM((NPK, S + 1), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.float32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.SMEM((NPK, 2), jnp.int32)]
     if hbm:
         scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA((NPK,))]
@@ -632,7 +901,7 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
         in_specs = [tabspec, pl.BlockSpec(memory_space=pltpu.VMEM), rayspec]
         operands = [tab, tab[:split], rays]
     return pl.pallas_call(
-        _kernel(NPK, d, PPC, hbm, split, batched),
+        _kernel(NPK, d, PPC, hbm, split, batched, share),
         grid=(gn,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -648,7 +917,8 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
                      active=None, any_hit: bool = False, stop_on_hit=None,
                      order=None, interpret: bool = False,
                      hbm: bool = False, split: int = 0,
-                     batched: bool | None = None) -> Hit:
+                     batched: bool | None = None,
+                     share: int | None = None) -> Hit:
     """Contract-compatible with traverse_packet (same Hit, same prepass).
     hbm=True keeps the node table HBM-resident with per-visit DMA — the
     large-scene path; split>0 additionally keeps the top `split` BFS rows
@@ -680,9 +950,14 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     rays = jnp.swapaxes(M.reshape(-1, PACKET, RAY_ROWS), -1, -2)
     rays = rays.reshape(-1, PACKET)
 
+    if share is None:
+        share = SHARE
+    if hbm:
+        share = 0
     outk = _run_packets2(table.rows, rays, depth=table.depth,
                          interpret=interpret, hbm=hbm, split=split,
-                         batched=V2B if batched is None else batched)
+                         batched=V2B if batched is None else batched,
+                         share=share)
     outk = outk.reshape(-1, 4, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
     if order is not None:

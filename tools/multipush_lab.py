@@ -86,6 +86,10 @@ def run(kind, name, o, d, order, anyhit):
         f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
             arrays, merged, o, d, order=order, any_hit=anyhit,
             interpret=INTERP, batched=True))
+    elif kind == 'v2s':
+        f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
+            arrays, merged, o, d, order=order, any_hit=anyhit,
+            interpret=INTERP, share=8))
     else:
         f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
             arrays, merged, o, d, order=order, any_hit=anyhit,
