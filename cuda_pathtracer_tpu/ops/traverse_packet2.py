@@ -270,8 +270,10 @@ def _leaf_payload(leaf_row: np.ndarray) -> np.ndarray:
 V2B = bool(int(__import__('os').environ.get('CPT_V2B', '0')))
 
 # share-K batched steps (the kernel_lab3 `share8` design, priced 140.7 vs
-# 433 ns/visit): 0 = off (sequential v2 steps). VMEM-resident tables only.
-SHARE = int(__import__('os').environ.get('CPT_SHARE', '0'))
+# 433 ns/visit scripted; 1.89x bounce / 1.97x any-hit on real wavefronts,
+# tools/multipush_lab.py v2 v2s): the default. 0 = sequential v2 steps.
+# VMEM-resident tables only — the HBM-DMA large-scene path keeps v2 steps.
+SHARE = int(__import__('os').environ.get('CPT_SHARE', '8'))
 
 
 def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,

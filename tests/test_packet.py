@@ -231,7 +231,8 @@ def test_packet2_hbm_dma_parity(teapot_scene, merged_table):
     differs."""
     scene, arrays, dyn, _ = teapot_scene
     ro, rd = _rays()
-    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True)
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=0)
     h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
                                hbm=True)
     np.testing.assert_array_equal(np.asarray(h0.intersected),
@@ -248,7 +249,8 @@ def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
     top of the tree is resident, leaves DMA)."""
     scene, arrays, dyn, _ = teapot_scene
     ro, rd = _rays()
-    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True)
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=0)
     n_rows = int(merged_table.rows.shape[0])
     for split in (8, max(8, (n_rows // 2) & ~7), n_rows):
         h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd,
@@ -267,7 +269,8 @@ def test_packet2_batched_parity(teapot_scene, merged_table):
     bit-exact — including through the hybrid split fetch."""
     scene, arrays, dyn, _ = teapot_scene
     ro, rd = _rays()
-    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True)
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=0)
     h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
                                batched=True)
     np.testing.assert_array_equal(np.asarray(h0.intersected),
@@ -280,3 +283,61 @@ def test_packet2_batched_parity(teapot_scene, merged_table):
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
     np.testing.assert_array_equal(np.asarray(h0.prim_id),
                                   np.asarray(h2.prim_id))
+
+
+def test_packet2_share_closest_parity(teapot_scene, merged_table):
+    """The share-8 batched-step path (CPT_SHARE, the TPU default) must agree
+    with the sequential v2 steps on closest hits: identical occlusion,
+    identical t (the slab/Möller arithmetic is bit-identical; only the
+    VISIT ORDER changes), pid differing only on exact-t ties (across-leaf
+    ties in one batch resolve to the lowest gid — the documented
+    measure-zero tie class)."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=0)
+    h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=8)
+    np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                  np.asarray(h1.intersected))
+    both = np.asarray(h0.intersected)
+    t0_, t1_ = np.asarray(h0.t)[both], np.asarray(h1.t)[both]
+    np.testing.assert_array_equal(t0_, t1_)
+    p0, p1 = np.asarray(h0.prim_id)[both], np.asarray(h1.prim_id)[both]
+    diff = p0 != p1
+    assert (t0_[diff] == t1_[diff]).all(), 'pid differs on a non-tied hit'
+
+
+def test_packet2_share_any_hit(teapot_scene, merged_table):
+    """Any-hit: the found flag (the engine's occlusion contract,
+    models/pathtracer.py connect) must agree; WHICH hit is reported is
+    visit-order dependent by design."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=0, any_hit=True)
+    h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=8, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                  np.asarray(h1.intersected))
+
+
+def test_packet2_share_tmax_active(teapot_scene, merged_table):
+    """share path honors t_max clipping and inactive lanes like the
+    sequential path."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    B = ro.shape[0]
+    rng = np.random.RandomState(11)
+    t_max = jnp.asarray(
+        rng.uniform(0.5, 50.0, size=B).astype(np.float32))
+    active = jnp.asarray(rng.rand(B) > 0.3)
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, t_max=t_max,
+                               active=active, interpret=True, share=0)
+    h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, t_max=t_max,
+                               active=active, interpret=True, share=8)
+    np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                  np.asarray(h1.intersected))
+    both = np.asarray(h0.intersected)
+    np.testing.assert_array_equal(np.asarray(h0.t)[both],
+                                  np.asarray(h1.t)[both])

@@ -210,6 +210,33 @@ def make_kernel(variant):
                 dec_s[p, 1] = metas[q]
             t_s[p:p + 1, :] = t * 1.0000001
 
+        def visit_share8t(p, cur):
+            """share8 with ONE (8,128)->(128,8) transpose for all 8 rows;
+            per-visit broadcasts slice columns of the transposed tile, and
+            the 8 meta words come off ONE sublane row (96) with tiny (1,8)
+            lane-masked sums."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            rows = [tab_ref[pl.ds((cur + q * 37) % (N - 1), 1), :]
+                    for q in range(8)]
+            bigT = jnp.transpose(jnp.concatenate(rows, axis=0))  # (128, 8)
+            chits = []
+            for q in range(8):
+                colT = bigT[:, q:q + 1]
+                chits.append(slab(colT, rf, t))
+            big = jnp.concatenate(chits, axis=0)           # (128, 128)
+            anyc = jnp.any(big, axis=1, keepdims=True)     # (128, 1) ONE
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            bit_s = 1 << (iota_s % ARITY)
+            metas = jax.lax.bitcast_convert_type(bigT[96:97, :], jnp.int32)
+            iota_l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+            for q in range(8):
+                grp = (iota_s >= q * ARITY) & (iota_s < (q + 1) * ARITY)
+                dec_s[p, 0] = jnp.sum(
+                    jnp.where(anyc & grp, bit_s, 0))       # sublane-space
+                dec_s[p, 1] = jnp.sum(jnp.where(iota_l8 == q, metas, 0))
+            t_s[p:p + 1, :] = t * 1.0000001
+
         def visit_leaf(p, cur):
             rf = ray_fields(p)
             rowL = jnp.transpose(tab_ref[pl.ds(cur, 1), :])
@@ -256,6 +283,8 @@ def make_kernel(variant):
                     visit(p, (curs[p] + 1) % (N - 1))
                 elif variant == 'share8':
                     visit_share8(p, curs[p])
+                elif variant == 'share8t':
+                    visit_share8t(p, curs[p])
                 else:
                     visit(p, curs[p])
             for p in range(NPK):
@@ -334,7 +363,7 @@ def run(variant, G=256):
         o.block_until_ready()
     dt = (time.perf_counter() - t0) / K
     iters = G * T
-    per_it = {'dual': 2, 'share8': 8}.get(variant, 1)
+    per_it = {'dual': 2, 'share8': 8, 'share8t': 8}.get(variant, 1)
     visits = iters * NPK * per_it
     print(f'{variant:6s}: {dt*1e3:7.2f} ms  {dt/iters*1e9:8.1f} ns/iter '
           f'({dt/visits*1e9:6.1f} ns/visit)')
@@ -342,5 +371,5 @@ def run(variant, G=256):
 
 if __name__ == '__main__':
     for v in (sys.argv[1:] or ['empty', 'fetch', 'trans', 'bcast', 'slab',
-                               'full', 'bf16', 'dual', 'share8', 'leaf']):
+                               'full', 'bf16', 'dual', 'share8', 'share8t', 'leaf']):
         run(v)
