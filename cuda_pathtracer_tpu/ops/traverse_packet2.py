@@ -680,25 +680,55 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
 
         def inner_share(rf, p, idxs):
             """`share` slab blocks under ONE cross-lane any-reduce; the
-            (hitmask, meta, mask_inner) words land in dec_s sublane-space."""
+            (hitmask, meta, mask_inner) words land in dec_s sublane-space.
+            All `share` rows go through ONE (share,128)->(128,share)
+            transpose (kernel_lab3 share8t/share16t: 141 -> 91/65 ns/visit
+            vs per-visit transposes); per-visit plane broadcasts slice
+            columns, and both meta words come off sublane rows PMETA/PMETA2
+            with tiny (1,share) lane-masked sums."""
+            rows = [tab_ref[pl.ds(idxs[s], 1), :] for s in range(share)]
+            bigT = jnp.transpose(jnp.concatenate(rows, axis=0))
+            _, _, t_scan = t_scan_of(rf, p)
+            ivx, ivy, ivz = rf['iv']
+            oivx, oivy, oivz = rf['oiv']
             chits = []
             for s in range(share):
-                row = tab_ref[pl.ds(idxs[s], 1), :]
-                chit, rowT = inner_chit(rf, p, row)
-                chits.append(chit)
-                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
-                dec_s[p, 3 * s + 1] = jnp.sum(
-                    jnp.where(iota128 == PMETA, rowTi, 0))
-                dec_s[p, 3 * s + 2] = jnp.sum(
-                    jnp.where(iota128 == PMETA2, rowTi, 0))
+                colT = bigT[:, s:s + 1]
+
+                def f16(k, colT=colT):
+                    return jnp.broadcast_to(
+                        colT[PBOX0 + k * 16:PBOX0 + (k + 1) * 16],
+                        (ARITY, PACKET))
+                lox, loy, loz = f16(0), f16(1), f16(2)
+                hix, hiy, hiz = f16(3), f16(4), f16(5)
+                t0x = lox * ivx - oivx; t1x = hix * ivx - oivx
+                t0y = loy * ivy - oivy; t1y = hiy * ivy - oivy
+                t0z = loz * ivz - oivz; t1z = hiz * ivz - oivz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                chits.append((tmax >= jnp.maximum(tmin, 0.0))
+                             & (tmin < t_scan))
             big = jnp.concatenate(chits, axis=0)       # (16*share, 128)
             anyc = jnp.any(big, axis=1, keepdims=True)  # the ONE reduce
             iota_g = jax.lax.broadcasted_iota(
                 jnp.int32, (ARITY * share, 1), 0)
             bit_g = 1 << (iota_g % ARITY)
+            metas = jax.lax.bitcast_convert_type(
+                bigT[PMETA:PMETA + 1, :], jnp.int32)
+            metas2 = jax.lax.bitcast_convert_type(
+                bigT[PMETA2:PMETA2 + 1, :], jnp.int32)
+            iota_ls = jax.lax.broadcasted_iota(jnp.int32, (1, share), 1)
             for s in range(share):
                 grp = ((iota_g >= s * ARITY) & (iota_g < (s + 1) * ARITY))
                 dec_s[p, 3 * s] = jnp.sum(jnp.where(anyc & grp, bit_g, 0))
+                dec_s[p, 3 * s + 1] = jnp.sum(
+                    jnp.where(iota_ls == s, metas, 0))
+                dec_s[p, 3 * s + 2] = jnp.sum(
+                    jnp.where(iota_ls == s, metas2, 0))
 
         def leaf_share(rf, p, idxs, vals):
             """`share` leaf visits in one (12*share,128) Möller pass; one
@@ -709,11 +739,14 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             best = gid_s[p:p + 1, :]
             ox, oy, oz = rf['o']
             dx, dy, dz = rf['d']
+            rows = [tab_ref[pl.ds(idxs[s], 1), :] for s in range(share)]
+            bigT = jnp.transpose(jnp.concatenate(rows, axis=0))
             blocks = []
             gidbl = []
             valbl = []
             for s in range(share):
-                rowL = jnp.transpose(tab_ref[pl.ds(idxs[s], 1), :])
+                rowL = bigT[:, s:s + 1]   # ONE batched transpose above
+                                          # (kernel_lab3 leaf8t: 109 -> 80)
 
                 def f12(j, rowL=rowL):
                     return jnp.broadcast_to(

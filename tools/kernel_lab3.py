@@ -210,6 +210,138 @@ def make_kernel(variant):
                 dec_s[p, 1] = metas[q]
             t_s[p:p + 1, :] = t * 1.0000001
 
+        def visit_shareK(p, cur, K):
+            """share8 generalized: K scripted inner visits, one (16K,128)
+            reduce. K=16 prices whether issue-depth keeps paying past 8."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            chits = []
+            metas = []
+            for q in range(K):
+                idx = (cur + q * 37) % (N - 1)
+                rowT = jnp.transpose(tab_ref[pl.ds(idx, 1), :])
+                chits.append(slab(rowT, rf, t))
+                rowTi = jax.lax.bitcast_convert_type(rowT, jnp.int32)
+                metas.append(jnp.sum(jnp.where(iota128 == 96, rowTi, 0)))
+            big = jnp.concatenate(chits, axis=0)           # (16K, 128)
+            anyc = jnp.any(big, axis=1, keepdims=True)     # ONE reduce
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (16 * K, 1), 0)
+            bit_s = 1 << (iota_s % ARITY)
+            for q in range(K):
+                grp = (iota_s >= q * ARITY) & (iota_s < (q + 1) * ARITY)
+                dec_s[p, 0] = jnp.sum(
+                    jnp.where(anyc & grp, bit_s, 0))
+                dec_s[p, 1] = metas[q]
+            t_s[p:p + 1, :] = t * 1.0000001
+
+        def visit_shareKt(p, cur, K):
+            """shareK + ONE (K,128)->(128,K) transpose for all K rows
+            (share8t generalized)."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            rows = [tab_ref[pl.ds((cur + q * 37) % (N - 1), 1), :]
+                    for q in range(K)]
+            bigT = jnp.transpose(jnp.concatenate(rows, axis=0))  # (128, K)
+            chits = []
+            for q in range(K):
+                colT = bigT[:, q:q + 1]
+                chits.append(slab(colT, rf, t))
+            big = jnp.concatenate(chits, axis=0)
+            anyc = jnp.any(big, axis=1, keepdims=True)
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (16 * K, 1), 0)
+            bit_s = 1 << (iota_s % ARITY)
+            metas = jax.lax.bitcast_convert_type(bigT[96:97, :], jnp.int32)
+            iota_lK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            for q in range(K):
+                grp = (iota_s >= q * ARITY) & (iota_s < (q + 1) * ARITY)
+                dec_s[p, 0] = jnp.sum(
+                    jnp.where(anyc & grp, bit_s, 0))
+                dec_s[p, 1] = jnp.sum(jnp.where(iota_lK == q, metas, 0))
+            t_s[p:p + 1, :] = t * 1.0000001
+
+        def visit_leaf8t(p, cur, K=8):
+            """leaf8 + ONE batched (K,128)->(128,K) transpose."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            ox, oy, oz = rf['o']
+            dx, dy, dz = rf['d']
+            rows = [tab_ref[pl.ds((cur + q * 37) % (N - 1), 1), :]
+                    for q in range(K)]
+            bigT = jnp.transpose(jnp.concatenate(rows, axis=0))  # (128, K)
+            blocks = []
+            for q in range(K):
+                colL = bigT[:, q:q + 1]
+
+                def f12(j, colL=colL):
+                    return jnp.broadcast_to(
+                        colL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                        (LEAF_MAX, 128))
+                blocks.append([f12(j) for j in range(9)])
+            cat = [jnp.concatenate([b[j] for b in blocks], axis=0)
+                   for j in range(9)]
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cat
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                   & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+            take = jnp.any(okm, axis=0, keepdims=True)
+            t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+            dec_s[p, 0] = cur
+
+        def visit_leaf8(p, cur):
+            """8 leaf visits in one (96,128) Moller pass — the production
+            share-mode leaf_share step, scripted indices."""
+            rf = ray_fields(p)
+            t = t_s[p:p + 1, :]
+            ox, oy, oz = rf['o']
+            dx, dy, dz = rf['d']
+            blocks = []
+            for q in range(8):
+                idx = (cur + q * 37) % (N - 1)
+                rowL = jnp.transpose(tab_ref[pl.ds(idx, 1), :])
+
+                def f12(j, rowL=rowL):
+                    return jnp.broadcast_to(
+                        rowL[PTRIS + j * 12:PTRIS + (j + 1) * 12],
+                        (LEAF_MAX, 128))
+                blocks.append([f12(j) for j in range(9)])
+            cat = [jnp.concatenate([b[j] for b in blocks], axis=0)
+                   for j in range(9)]
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cat
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MT_DET_EPS, 1.0, a)
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            okm = ((jnp.abs(a) >= MT_DET_EPS) & (u >= 0.0) & (u <= 1.0)
+                   & (vv >= 0.0) & (u + vv <= 1.0)
+                   & (tt > 0.0) & (tt < t))
+            ttm = jnp.where(okm, tt, BIG)
+            leaf_t = jnp.min(ttm, axis=0, keepdims=True)
+            take = jnp.any(okm, axis=0, keepdims=True)
+            t_s[p:p + 1, :] = jnp.where(take, leaf_t, t)
+            dec_s[p, 0] = cur
+
         def visit_share8t(p, cur):
             """share8 with ONE (8,128)->(128,8) transpose for all 8 rows;
             per-visit broadcasts slice columns of the transposed tile, and
@@ -283,8 +415,18 @@ def make_kernel(variant):
                     visit(p, (curs[p] + 1) % (N - 1))
                 elif variant == 'share8':
                     visit_share8(p, curs[p])
+                elif variant == 'share16':
+                    visit_shareK(p, curs[p], 16)
+                elif variant == 'share16t':
+                    visit_shareKt(p, curs[p], 16)
                 elif variant == 'share8t':
                     visit_share8t(p, curs[p])
+                elif variant == 'leaf8':
+                    visit_leaf8(p, curs[p])
+                elif variant == 'leaf8t':
+                    visit_leaf8t(p, curs[p])
+                elif variant == 'leaf16t':
+                    visit_leaf8t(p, curs[p], 16)
                 else:
                     visit(p, curs[p])
             for p in range(NPK):
@@ -363,7 +505,9 @@ def run(variant, G=256):
         o.block_until_ready()
     dt = (time.perf_counter() - t0) / K
     iters = G * T
-    per_it = {'dual': 2, 'share8': 8, 'share8t': 8}.get(variant, 1)
+    per_it = {'dual': 2, 'share8': 8, 'share8t': 8, 'share16': 16,
+              'share16t': 16, 'leaf8': 8, 'leaf8t': 8,
+              'leaf16t': 16}.get(variant, 1)
     visits = iters * NPK * per_it
     print(f'{variant:6s}: {dt*1e3:7.2f} ms  {dt/iters*1e9:8.1f} ns/iter '
           f'({dt/visits*1e9:6.1f} ns/visit)')
