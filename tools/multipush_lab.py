@@ -90,6 +90,10 @@ def run(kind, name, o, d, order, anyhit):
         f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
             arrays, merged, o, d, order=order, any_hit=anyhit,
             interpret=INTERP, share=8))
+    elif kind == 'v2s16':
+        f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
+            arrays, merged, o, d, order=order, any_hit=anyhit,
+            interpret=INTERP, share=16))
     else:
         f = jax.jit(lambda o, d, order: tpk2.traverse_packet2(
             arrays, merged, o, d, order=order, any_hit=anyhit,
