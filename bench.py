@@ -152,13 +152,19 @@ def main():
         return jax.lax.fori_loop(0, K, one, (rand0, jnp.zeros(
             (ih, iw, 3), jnp.float32)))
 
-    r = frames_device(jnp.uint32(3))
-    r[1].block_until_ready()
-    t0 = time.perf_counter()
-    r = frames_device(jnp.uint32(11))
-    r[1].block_until_ready()
-    _ = np.asarray(r[1][:1, :1])
-    dev_dt = (time.perf_counter() - t0) / K
+    # two warm-up calls and best-of-3: the first post-compile execution can
+    # be ~7x slow on this 1-core host (compile-cache serialization steals
+    # the core that feeds the device) — measured 736 vs 108 ms/frame
+    for w in range(2):
+        r = frames_device(jnp.uint32(3 + w))
+        r[1].block_until_ready()
+    dev_dt = 1e9
+    for t in range(3):
+        t0 = time.perf_counter()
+        r = frames_device(jnp.uint32(11 + t))
+        r[1].block_until_ready()
+        _ = np.asarray(r[1][:1, :1])
+        dev_dt = min(dev_dt, (time.perf_counter() - t0) / K)
     print(f'# interactive_device_ms: {dev_dt*1e3:.1f} ms/frame = '
           f'{1.0/dev_dt:.1f} fps device-side (display transform fused, '
           f'RTT excluded)', file=sys.stderr)
