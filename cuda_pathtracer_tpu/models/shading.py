@@ -112,9 +112,9 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     f3 = lambda m: m[..., None]  # noqa: E731 broadcast helper
 
     # ---- sky escape (kernels.h:526-537) ----
-    sk = sky_mod.sample_sky_pairs(scene.sky_pairs, scene.sky_img.shape[:2],
-                                  rd)
     missed = ray_active & ~hit.intersected
+    sk = sky_mod.sample_sky_pairs(scene.sky_pairs, scene.sky_img.shape[:2],
+                                  rd, live=missed)
     sky_add = state.mask * sk
     albedo_add = jnp.where(f3(missed & ~state.albedo_set), sky_add, 0.0)
     albedo_inc = (missed & ~state.albedo_set).astype(jnp.float32)
@@ -172,8 +172,26 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
                                     axis=1)               # [T, 24]
         row = tri_guide[gid]
         trip, rc_row = row[..., :16], row[..., 16:24]
+        nrm_model = trip[..., 0:3]
+        tang = trip[..., 3:6]
+        bitang = trip[..., 6:9]
+        uvs = trip[..., 9:15]                             # [B, 6]
+        mid_f = trip[..., 15]
     else:
-        trip = scene.tri_packed[gid]                      # [B, 16]
+        # gathering scene.tri_packed (a jit parameter) directly runs from
+        # the slow HBM emitter (~8 ms/shade at 307k lanes); the swapped-half
+        # concat recreates the MSA-staged VMEM form (see tri_meta NOTE
+        # above). Columns address through the swap: old j lives at (j+8)%16.
+        tp = scene.tri_packed
+        tsw = jnp.concatenate([tp[:, 8:], tp[:, :8]], axis=1)[gid]
+        # SCALAR column picks only: block slices (tsw[..., 8:11]) push XLA
+        # to the slow row-major gather emitter (tools/gather_layout_probe.py)
+        c = lambda j: tsw[..., (j + 8) % 16]  # noqa: E731 old col j
+        nrm_model = jnp.stack([c(0), c(1), c(2)], axis=-1)
+        tang = jnp.stack([c(3), c(4), c(5)], axis=-1)
+        bitang = jnp.stack([c(6), c(7), c(8)], axis=-1)
+        uvs = jnp.stack([c(9), c(10), c(11), c(12), c(13), c(14)], axis=-1)
+        mid_f = c(15)
         rc_row = None
     instp = table_lookup(dyn.inst_packed, inst)           # [B, 16]
     inst_tf = instp[..., 0:12].reshape(*instp.shape[:-1], 3, 4)
@@ -182,7 +200,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # material id with instance override (getColliderMaterialID, kernels.h:88-99)
     n_sph = scene.sphere_packed.shape[0]
     n_pla = scene.plane_packed.shape[0]
-    tri_mid = jax.lax.bitcast_convert_type(trip[..., 15], jnp.int32)
+    tri_mid = jax.lax.bitcast_convert_type(mid_f, jnp.int32)
     mid = jnp.where(override >= 0, override, tri_mid)
     sphp = plap = None
     if n_sph:
@@ -209,7 +227,6 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     ntex_id = jax.lax.bitcast_convert_type(matp[..., 17], jnp.int32)
 
     # normal (getColliderNormal, kernels.h:101-118 + world transform :553-556)
-    nrm_model = trip[..., 0:3]
     normal = vm.normalize(vm.transform_dir(inst_tf, nrm_model), eps=1e-12)
     if n_sph:
         normal = jnp.where(f3(is_sphere),
@@ -253,27 +270,30 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
                                                  0, 1, 2)], axis=-1)
     _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
                                       tri9[..., 6:9])
-    uvs = trip[..., 9:15]  # [B, 6]
     w0 = 1.0 - tu - tv
     uv_u = uvs[..., 0] * w0 + uvs[..., 2] * tu + uvs[..., 4] * tv
     uv_v = uvs[..., 1] * w0 + uvs[..., 3] * tu + uvs[..., 5] * tv
 
     if int(scene.textures.texels.shape[0]) > 1:
         from ..scene.textures import sample_bilinear
-        texel = sample_bilinear(scene.textures, jnp.maximum(tex_id, 0), uv_u, uv_v)
+        texel = sample_bilinear(scene.textures, jnp.maximum(tex_id, 0), uv_u,
+                                uv_v, live=has_tex)
         diffuse = jnp.where(f3(has_tex), diffuse * texel, diffuse)
 
-        ntexel = sample_bilinear(scene.textures, jnp.maximum(ntex_id, 0), uv_u, uv_v)
-        tn = ntexel * 2.0 - 1.0
-        tang = trip[..., 3:6]
-        bitang = trip[..., 6:9]
-        tex_normal = (tn[..., 0:1] * tang + tn[..., 1:2] * bitang
-                      + tn[..., 2:3] * nrm_model)
-        tex_normal = vm.normalize(
-            vm.transform_dir(inst_tf, tex_normal), eps=1e-12)
-        flip = vm.dot(tex_normal, collider_normal) < 0.0
-        tex_normal = jnp.where(f3(flip), -tex_normal, tex_normal)
-        collider_normal = jnp.where(f3(has_nmap), tex_normal, collider_normal)
+        # normal-map fetch + TBN transform, statically skipped when no
+        # material carries a normal map (nmap_marker shape flag)
+        if int(scene.nmap_marker.shape[0]) > 0:
+            ntexel = sample_bilinear(scene.textures, jnp.maximum(ntex_id, 0),
+                                     uv_u, uv_v, live=has_nmap)
+            tn = ntexel * 2.0 - 1.0
+            tex_normal = (tn[..., 0:1] * tang + tn[..., 1:2] * bitang
+                          + tn[..., 2:3] * nrm_model)
+            tex_normal = vm.normalize(
+                vm.transform_dir(inst_tf, tex_normal), eps=1e-12)
+            flip = vm.dot(tex_normal, collider_normal) < 0.0
+            tex_normal = jnp.where(f3(flip), -tex_normal, tex_normal)
+            collider_normal = jnp.where(f3(has_nmap), tex_normal,
+                                        collider_normal)
 
     # ---- branch select (kernels.h:624-661) ----
     brdf = diffuse / PI

@@ -63,15 +63,28 @@ def build_sky_pairs(sky_img: np.ndarray) -> np.ndarray:
     row gathers (bottom pair + top pair) instead of four corner rows —
     gather cost on TPU is per ROW, nearly independent of row width
     (PERF.md), so this halves the dominant per-bounce sky cost for the price
-    of a duplicated skydome in HBM."""
+    of a duplicated skydome in HBM.
+
+    NOTE(measured): a 12-wide one-gather QUAD table (all four corners per
+    row) was tried and is 14x SLOWER (32 ms vs 2.2 per interactive bounce
+    shade): XLA lays the [H*W, 12] table out column-major ({0,1}) for that
+    consumer shape, so each row fetch becomes 12 HBM reads strided 4.5 MB
+    apart. The [2, B]-indexed pair form keeps the row-contiguous layout."""
     img = np.asarray(sky_img, np.float32)
     pairs = np.concatenate([img, np.roll(img, -1, axis=1)], axis=-1)
     return pairs.reshape(-1, 2 * img.shape[-1])
 
 
-def sample_sky_pairs(sky_pairs, shape, direction):
+def sample_sky_pairs(sky_pairs, shape, direction, live=None):
     """Bilinear skydome fetch from the pair table (bit-identical to
-    sample_sky: same corner texels, same lerp)."""
+    sample_sky: same corner texels, same lerp).
+
+    `live` masks lanes whose result the caller will consume: dead lanes
+    gather row 0 instead of a direction-dependent random row. The sky pair
+    table is the biggest gather table in the engine (27 MB for a 1500x750
+    HDR dome) and an incoherent all-lane gather from it costs ~30 ns/row vs
+    ~4 coherent (tools/interactive_profile.py: 18.6 ms/frame on the bounce
+    shade where nearly every lane hits a wall and is masked out anyway)."""
     h, w = shape
     u, v = normal_to_uv(direction)
     fu = u * w - 0.5
@@ -84,6 +97,8 @@ def sample_sky_pairs(sky_pairs, shape, direction):
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
     idx2 = jnp.stack([y0i * w + xi, y1i * w + xi])
+    if live is not None:
+        idx2 = jnp.where(live, idx2, 0)
     rows = sky_pairs[idx2]                       # [2, ..., 6]
     c00, c10 = rows[0][..., 0:3], rows[0][..., 3:6]
     c01, c11 = rows[1][..., 0:3], rows[1][..., 3:6]

@@ -79,6 +79,12 @@ class SceneArrays(NamedTuple):
     sphere_packed: jnp.ndarray   # f32[S, 8]: pos|radius|mat(bitcast)
     plane_packed: jnp.ndarray    # f32[P, 8]: normal|d|mat(bitcast)
 
+    # shape-as-static flag: f32[1] if any material has a normal map, f32[0]
+    # otherwise. shade() gates the normal-map texture gather on the SHAPE
+    # (static under jit), so scenes without normal maps skip the gather and
+    # TBN math entirely at trace time.
+    nmap_marker: jnp.ndarray
+
     # path guiding radiance cache (RadianceCache, types.h:98-104); mutable —
     # threaded through the render step functionally
     # (kept in DynamicArrays? no: per-triangle, static shape) ->

@@ -514,6 +514,8 @@ class Scene:
             tri_packed=jnp.asarray(tri_packed),
             sphere_packed=jnp.asarray(sphere_packed),
             plane_packed=jnp.asarray(plane_packed),
+            nmap_marker=jnp.zeros(
+                (int(any(m.normal_texture >= 0 for m in mats)),), jnp.float32),
         )
 
     def _structure_key(self):

@@ -84,7 +84,14 @@ class TextureStack(NamedTuple):
     `pairs` holds, for every texel, itself ++ its wrap-adjacent right
     neighbor (within its own texture), so a bilinear fetch needs TWO row
     gathers (bottom pair + top pair) instead of four corner rows — TPU
-    gather cost is per row, nearly independent of width (PERF.md)."""
+    gather cost is per row, nearly independent of width (PERF.md).
+
+    NOTE(measured): a 12-wide one-gather QUAD table (all four corners per
+    row) was tried for both this atlas and the skydome and is far SLOWER on
+    big tables (32 ms vs 2.2 per interactive bounce shade on the 1500x750
+    sky): XLA lays the [P, 12] table out column-major ({0,1}) for that
+    consumer shape, so each row fetch becomes 12 HBM reads strided P*4
+    bytes apart. The [2, B]-indexed pair form keeps rows contiguous."""
     texels: jnp.ndarray   # f32[P, 3]
     pairs: jnp.ndarray    # f32[P, 6]: texel(x,y) ++ texel((x+1)%W, y)
     offset: jnp.ndarray   # i32[K]
@@ -158,11 +165,12 @@ class TextureAtlas:
             height=jnp.asarray(np.array(hs, np.int32)))
 
 
-def sample_bilinear(stack: TextureStack, tex_id, u, v):
+def sample_bilinear(stack: TextureStack, tex_id, u, v, live=None):
     """Bilinear, wrap-addressed texture fetch — the semantics of the CUDA
     texture objects created in src/use_cuda.h:145-151 (normalizedCoords, wrap,
     linear filter). `tex_id`, `u`, `v` are arrays of the same batch shape.
-    Returns f32[..., 3].
+    Returns f32[..., 3]. `live` masks lanes whose result the caller consumes:
+    dead lanes gather row 0 (cached) instead of a uv-dependent random row.
 
     CUDA linear filtering samples at (u*W - 0.5) between texel centers; we
     reproduce that so goldens line up.
@@ -184,6 +192,8 @@ def sample_bilinear(stack: TextureStack, tex_id, u, v):
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
     idx2 = jnp.stack([off + y0i * w + xi, off + y1i * w + xi])
+    if live is not None:
+        idx2 = jnp.where(live, idx2, 0)
     rows = stack.pairs[idx2]
     c00, c10 = rows[0][..., 0:3], rows[0][..., 3:6]
     c01, c11 = rows[1][..., 0:3], rows[1][..., 3:6]
