@@ -272,8 +272,13 @@ V2B = bool(int(__import__('os').environ.get('CPT_V2B', '0')))
 # share-K batched steps (the kernel_lab3 `share8` design, priced 140.7 vs
 # 433 ns/visit scripted; 1.89x bounce / 1.97x any-hit on real wavefronts,
 # tools/multipush_lab.py v2 v2s): the default. 0 = sequential v2 steps.
-# VMEM-resident tables only — the HBM-DMA large-scene path keeps v2 steps.
 SHARE = int(__import__('os').environ.get('CPT_SHARE', '8'))
+
+# share-K on the HBM-DMA large-scene path: the batch unspooled at step i is
+# VISITED at step i+1, so its up-to-`share` row DMAs are in flight across the
+# other interleaved packets' step (the same one-rotation latency budget the
+# sequential hbm path uses). 0 falls back to sequential v2 steps there.
+SHARE_HBM = int(__import__('os').environ.get('CPT_SHARE_HBM', '1'))
 
 
 def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
@@ -626,6 +631,45 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
         # leaf entries grow DOWN from CAPT-1.
         CAPT = 8 * S
 
+        # -- share-K row sourcing: VMEM slice, or per-slot DMA (hbm). Each
+        # packet owns `share` row slots; a batch's DMAs are issued when the
+        # batch is UNSPOOLED (end of step i) and waited when it is VISITED
+        # (start of step i+1) — the other npk-1 packets' step work plus the
+        # loop backedge is the latency budget, the same one-rotation scheme
+        # the sequential hbm path uses. Slots with idx < split read the
+        # VMEM-resident top of the tree instead (no DMA issued or waited;
+        # identical predicates on both sides).
+        def start_slot(p, s, idx, val):
+            def issue():
+                pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(idx, 1)],
+                    row_s.at[pl.ds(p * share + s, 1)],
+                    sem.at[p, s]).start()
+            pl.when(val & (idx >= split))(issue)
+
+        def wait_slot(p, s, idx, val):
+            def drain():
+                pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(0, 1)],
+                    row_s.at[pl.ds(p * share + s, 1)],
+                    sem.at[p, s]).wait()
+            pl.when(val & (idx >= split))(drain)
+
+        def share_rows(p, idxs):
+            """The `share` (1,128) node rows for packet p's current batch."""
+            if not hbm:
+                return [tab_ref[pl.ds(idxs[s], 1), :] for s in range(share)]
+            out = []
+            for s in range(share):
+                slot = row_s[pl.ds(p * share + s, 1), :]
+                if split == 0:
+                    out.append(slot)
+                    continue
+                top = top_ref[pl.ds(jnp.minimum(idxs[s], split - 1), 1), :]
+                idxv = jnp.full((1, PACKET), idxs[s], jnp.int32)
+                out.append(jnp.where(idxv < split, top, slot))
+            return out
+
         def bit_index(low):
             """Index of an isolated bit: 4 constant-mask tests (scalar)."""
             return (jnp.where((low & 0xAAAA) != 0, 1, 0)
@@ -686,7 +730,7 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             vs per-visit transposes); per-visit plane broadcasts slice
             columns, and both meta words come off sublane rows PMETA/PMETA2
             with tiny (1,share) lane-masked sums."""
-            rows = [tab_ref[pl.ds(idxs[s], 1), :] for s in range(share)]
+            rows = share_rows(p, idxs)
             bigT = jnp.transpose(jnp.concatenate(rows, axis=0))
             _, _, t_scan = t_scan_of(rf, p)
             ivx, ivy, ivz = rf['iv']
@@ -739,7 +783,7 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             best = gid_s[p:p + 1, :]
             ox, oy, oz = rf['o']
             dx, dy, dz = rf['d']
-            rows = [tab_ref[pl.ds(idxs[s], 1), :] for s in range(share)]
+            rows = share_rows(p, idxs)
             bigT = jnp.transpose(jnp.concatenate(rows, axis=0))
             blocks = []
             gidbl = []
@@ -860,6 +904,63 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                                 cnt.astype(jnp.int32)))
                 return tuple(out)
 
+            # -- hbm: same batch composition/order as above (bit-identical
+            # traversal), but the batch unspooled at step i is visited at
+            # step i+1, with its DMAs in flight across the other packets'
+            # step i work. Carry per packet: (spi, spl, cnt, do_leaf, nval,
+            # idx*share, val*share) — all scalars.
+            def cond_h(carry):
+                aliv = None
+                for p in range(npk):
+                    spi, spl, _, _, nv = carry[p][:5]
+                    a = (spi > 0) | (spl > 0) | (nv > 0)
+                    aliv = a if aliv is None else (aliv | a)
+                return aliv
+
+            def stage(p, spi, spl, cnt):
+                """Unspool the next batch and issue its DMAs; returns the
+                carry tail (do_leaf, nval, idxs, vals as int32)."""
+                do_leaf = ((cnt >= share) | (spi == 0)) & (spl > 0)
+                idxs, vals, spi, spl, nval = unspool_slots(
+                    p, do_leaf, spi, spl)
+                cnt = cnt - jnp.where(do_leaf, nval, 0)
+                for s in range(share):
+                    start_slot(p, s, idxs[s], vals[s])
+                tail = ((jnp.asarray(do_leaf).astype(jnp.int32),
+                         nval.astype(jnp.int32))
+                        + tuple(i.astype(jnp.int32) for i in idxs)
+                        + tuple(v.astype(jnp.int32) for v in vals))
+                return spi, spl, cnt, tail
+
+            def body_h(carry):
+                out = []
+                for p in range(npk):
+                    spi, spl, cnt, dl, nv = carry[p][:5]
+                    st_idxs = carry[p][5:5 + share]
+                    st_vals = [v != 0
+                               for v in carry[p][5 + share:5 + 2 * share]]
+                    staged = nv > 0
+                    for s in range(share):
+                        wait_slot(p, s, st_idxs[s], st_vals[s])
+                    rf = ray_fields((base + p) * RAY_ROWS)
+                    dlb = dl != 0
+
+                    @pl.when(staged & dlb)
+                    def _leafs(rf=rf, p=p, st_idxs=st_idxs,
+                               st_vals=st_vals):
+                        leaf_share(rf, p, st_idxs, st_vals)
+
+                    @pl.when(staged & ~dlb)
+                    def _inners(rf=rf, p=p, st_idxs=st_idxs):
+                        inner_share(rf, p, st_idxs)
+                    spi, spl, cnt = push_share(p, staged & ~dlb, st_vals,
+                                               spi, spl, cnt)
+                    spi, spl, cnt, tail = stage(p, spi, spl, cnt)
+                    out.append((spi.astype(jnp.int32),
+                                spl.astype(jnp.int32),
+                                cnt.astype(jnp.int32)) + tail)
+                return tuple(out)
+
             for p in range(npk):
                 b = (base + p) * RAY_ROWS
                 t_s[p:p + 1, :] = rays[b + 9:b + 10]
@@ -874,9 +975,19 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                 # root pseudo-entry: child 0 (= the inner root row)
                 stk_b[p, 0] = jnp.int32(1)
                 stk_m[p, 0] = jnp.int32(0)
-                init.append((jnp.where(live, 1, 0).astype(jnp.int32),
-                             jnp.int32(0), jnp.int32(0)))
-            fin = jax.lax.while_loop(cond, body, tuple(init))
+                spi0 = jnp.where(live, 1, 0).astype(jnp.int32)
+                if not hbm:
+                    init.append((spi0, jnp.int32(0), jnp.int32(0)))
+                else:
+                    # pre-stage the root batch so the first body iteration
+                    # has a visit whose DMA is already in flight
+                    spi0, spl0, cnt0, tail = stage(
+                        p, spi0, jnp.int32(0), jnp.int32(0))
+                    init.append((spi0.astype(jnp.int32),
+                                 spl0.astype(jnp.int32),
+                                 cnt0.astype(jnp.int32)) + tail)
+            fin = jax.lax.while_loop(cond_h if hbm else cond,
+                                     body_h if hbm else body, tuple(init))
             del fin
             for p in range(npk):
                 o = 4 * (base + p)
@@ -911,13 +1022,16 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
     out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
                                      jnp.float32)
     if share:
-        assert not hbm, 'share-K steps are VMEM-resident-table only'
         scratch = [pltpu.SMEM((NPK, 8 * S), jnp.int32),
                    pltpu.SMEM((NPK, 8 * S), jnp.int32),
                    pltpu.VMEM((NPK, PACKET), jnp.float32),
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
                    pltpu.SMEM((NPK, 3 * share), jnp.int32)]
+        if hbm:
+            # one row slot + DMA semaphore per (packet, batch slot)
+            scratch += [pltpu.VMEM((NPK * share, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((NPK, share))]
     else:
         scratch = [pltpu.SMEM((NPK, S + 1), jnp.int32),
                    pltpu.SMEM((NPK, S + 1), jnp.int32),
@@ -925,9 +1039,9 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
                    pltpu.SMEM((NPK, 2), jnp.int32)]
-    if hbm:
-        scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
-                    pltpu.SemaphoreType.DMA((NPK,))]
+        if hbm:
+            scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((NPK,))]
     split = 0 if not hbm else min(split, int(tab.shape[0]))
     in_specs = [tabspec, rayspec]
     operands = [tab, rays]
@@ -987,8 +1101,8 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
 
     if share is None:
         share = SHARE
-    if hbm:
-        share = 0
+        if hbm and not SHARE_HBM:
+            share = 0
     outk = _run_packets2(table.rows, rays, depth=table.depth,
                          interpret=interpret, hbm=hbm, split=split,
                          batched=V2B if batched is None else batched,

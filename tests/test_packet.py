@@ -341,3 +341,40 @@ def test_packet2_share_tmax_active(teapot_scene, merged_table):
     both = np.asarray(h0.intersected)
     np.testing.assert_array_equal(np.asarray(h0.t)[both],
                                   np.asarray(h1.t)[both])
+
+
+def test_packet2_share_hbm_parity(teapot_scene, merged_table):
+    """share-8 over the HBM-DMA path (large scenes) must be BIT-identical to
+    share-8 over the VMEM-resident table: the software pipeline only delays
+    each batch's visit by one loop iteration — batch composition and visit
+    order are unchanged — so t, pid AND intersected must all match exactly,
+    across pure-DMA (split=0), hybrid, and all-resident splits."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=8)
+    n_rows = int(merged_table.rows.shape[0])
+    for split in (0, 8, max(8, (n_rows // 2) & ~7), n_rows):
+        h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd,
+                                   interpret=True, hbm=True, split=split,
+                                   share=8)
+        np.testing.assert_array_equal(
+            np.asarray(h0.intersected), np.asarray(h1.intersected),
+            err_msg=f'split={split}')
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t),
+                                      err_msg=f'split={split}')
+        np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                      np.asarray(h1.prim_id),
+                                      err_msg=f'split={split}')
+
+
+def test_packet2_share_hbm_any_hit(teapot_scene, merged_table):
+    """share-8 HBM any-hit: found flags bit-identical to share-8 VMEM."""
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=8, any_hit=True)
+    h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
+                               share=8, any_hit=True, hbm=True, split=8)
+    np.testing.assert_array_equal(np.asarray(h0.intersected),
+                                  np.asarray(h1.intersected))
