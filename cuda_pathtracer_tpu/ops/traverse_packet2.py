@@ -504,7 +504,10 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             registers, or pull the next child from the stack top
             (bit-unspooling). No same-step SMEM read-after-write: the fresh
             path never touches the stack before deciding, and stack reads
-            only see entries written in earlier steps."""
+            only see entries written in earlier steps. (Design note, not a
+            Mosaic hazard: body_h intentionally stages after push_share —
+            same-iteration SMEM store-then-load — and is validated on real
+            hardware, tools/hw_share_hbm_parity.py.)"""
             was_inner = (cur != DONE) & (cur >= 0)
             bits_new = jnp.where(was_inner, dec_s[p, 0], 0)
             meta_new = dec_s[p, 1]

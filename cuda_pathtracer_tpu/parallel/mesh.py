@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.pathtracer import Pathtracer, render_sample
+from ..models import film
 from ..models.guiding import propagate as guide_propagate
 
 
@@ -36,30 +37,48 @@ def make_mesh(devices=None, axis_name: str = 'b') -> Mesh:
 class ShardedPathtracer(Pathtracer):
     """Multi-chip progressive renderer: same host API and same engine
     configuration as models.Pathtracer, with the frame's bands sharded over
-    every device in the mesh."""
+    every device in the mesh.
+
+    Any resolution a single chip accepts works here too: when no band count
+    that is a multiple of the mesh size divides the height, the internal
+    frame is PADDED to the next height that shards evenly. The pad rows
+    render off-frustum rays (camera framing stays keyed to the requested
+    height via `full_height`) and are cropped from `image()`/`energy()`, so
+    the visible output is identical to an unpadded render."""
 
     def __init__(self, scene, width: int = 640, height: int = 480,
                  mesh: Mesh | None = None, skydome: str | None = None,
                  spp: int | None = None):
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.out_height = height
         super().__init__(scene, width, height, skydome=skydome, spp=spp)
         n = int(self.mesh.devices.size)
-        # the band count must be a multiple of the mesh size so shard_map can
-        # scatter whole bands; prefer tile-aligned bands (band_h % 8 == 0)
+        best = self._mesh_band_count(height, n)
+        if best is None:
+            # pad: smallest height >= requested that the minimum mesh-aligned
+            # band count divides evenly (e.g. H=100 on 8 devices -> 104)
+            b0 = -(-self.bands // n) * n
+            padded = -(-height // b0) * b0
+            self.height = padded
+            self.lum, self.alb = film.clear_accumulators(width * padded)
+            best = self._mesh_band_count(padded, n)
+            assert best is not None, (height, padded, n)
+        self._set_bands(best)
+        self._sharded_fns = {}
+
+    def _mesh_band_count(self, height: int, n: int):
+        """Smallest band count that is a multiple of the mesh size and
+        divides `height`; prefers tile-aligned bands (band_h % 8 == 0)."""
         best = None
         b = -(-self.bands // n) * n
         while b <= height:
             if height % b == 0:
-                if (height // b) % 8 == 0 or width % 16:
-                    best = b
-                    break
+                if (height // b) % 8 == 0 or self.width % 16:
+                    return b
                 if best is None:
                     best = b
             b += n
-        assert best is not None, \
-            f'no band count multiple of {n} divides height {height}'
-        self._set_bands(best)
-        self._sharded_fns = {}
+        return best
 
     def _sharded(self, key):
         if key in self._sharded_fns:
@@ -68,7 +87,9 @@ class ShardedPathtracer(Pathtracer):
         axis = self.mesh.axis_names[0]
         n_dev = int(self.mesh.devices.size)
         per_dev = self.bands // n_dev
-        W, H, band_h = self.width, self.height, self.band_h
+        # camera framing keys to the REQUESTED height: pad rows (if any)
+        # trace off-frustum rays and are cropped at display time
+        W, H, band_h = self.width, self.out_height, self.band_h
         tile_order = self.tile_order
 
         def per_shard(scene, dyn, camera, radiance, lum_b, alb_b,
@@ -137,3 +158,21 @@ class ShardedPathtracer(Pathtracer):
             jnp.asarray(self.sample_idx, jnp.uint32),
             jnp.asarray(self.rand_idx, jnp.uint32), guide)
         return ridx, rays
+
+    # ---- pad-aware output (no-ops when height needed no padding) ----
+
+    def image(self, blur: bool = False):
+        if self.height == self.out_height:
+            return super().image(blur=blur)
+        lum, alb = self.accumulators_pixel_order()
+        k = self.out_height * self.width
+        return film.display(lum[:k], alb[:k], float(self.sample_idx),
+                            self.width, self.out_height, blur=blur)
+
+    def energy(self):
+        if self.height == self.out_height:
+            return super().energy()
+        lum, _ = self.accumulators_pixel_order()
+        total, has_nan, has_neg = film.energy_audit(
+            lum[:self.out_height * self.width])
+        return float(total), bool(has_nan), bool(has_neg)

@@ -233,8 +233,11 @@ def test_packet2_hbm_dma_parity(teapot_scene, merged_table):
     ro, rd = _rays()
     h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
                                share=0)
+    # share=0 pins the SEQUENTIAL DMA path: the share-hbm default would
+    # otherwise reroute this test onto the share-8 path (covered by its own
+    # parity tests) and leave the sequential path untested.
     h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
-                               hbm=True)
+                               hbm=True, share=0)
     np.testing.assert_array_equal(np.asarray(h0.intersected),
                                   np.asarray(h1.intersected))
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
@@ -253,8 +256,11 @@ def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
                                share=0)
     n_rows = int(merged_table.rows.shape[0])
     for split in (8, max(8, (n_rows // 2) & ~7), n_rows):
+        # share=0: keep exercising the sequential hybrid fetch (see
+        # test_packet2_hbm_dma_parity).
         h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd,
-                                   interpret=True, hbm=True, split=split)
+                                   interpret=True, hbm=True, split=split,
+                                   share=0)
         np.testing.assert_array_equal(np.asarray(h0.intersected),
                                       np.asarray(h1.intersected), err_msg=f'split={split}')
         np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t),
@@ -271,15 +277,17 @@ def test_packet2_batched_parity(teapot_scene, merged_table):
     ro, rd = _rays()
     h0 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
                                share=0)
+    # share=0 everywhere here: share!=0 selects the share-step runner and
+    # silently ignores batched=True, which would leave V2B untested.
     h1 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
-                               batched=True)
+                               batched=True, share=0)
     np.testing.assert_array_equal(np.asarray(h0.intersected),
                                   np.asarray(h1.intersected))
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
     np.testing.assert_array_equal(np.asarray(h0.prim_id),
                                   np.asarray(h1.prim_id))
     h2 = tpk2.traverse_packet2(arrays, merged_table, ro, rd, interpret=True,
-                               batched=True, hbm=True, split=8)
+                               batched=True, hbm=True, split=8, share=0)
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
     np.testing.assert_array_equal(np.asarray(h0.prim_id),
                                   np.asarray(h2.prim_id))

@@ -97,6 +97,34 @@ def test_sharded_runs_on_two_devices(reference_assets):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_sharded_awkward_height_pads(reference_assets):
+    """A height with no mesh-aligned band count (H=100 on 8 devices) must
+    render via internal padding, not assert — and the visible image must
+    match a single-chip render at the REQUESTED resolution bit-for-bit."""
+    scene = scene_for(reference_assets)
+    H_odd = 100
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = ShardedPathtracer(scene, W, H_odd, mesh=mesh)
+    assert sharded.out_height == H_odd and sharded.height > H_odd
+    assert sharded.height % 8 == 0
+
+    single = Pathtracer(scene, W, H_odd)
+    for pt in (single, sharded):
+        pt.render(cam(), should_clear=True)
+        pt.finish()
+
+    # visible pixels identical: pad rows trace off-frustum rays below the
+    # requested frame (full_height keys camera framing to H_odd), and the
+    # crop removes them
+    a = np.asarray(single.image())
+    b = np.asarray(sharded.image())
+    assert a.shape == b.shape == (H_odd, W, 3)
+    np.testing.assert_array_equal(a, b)
+    ea, eb = single.energy(), sharded.energy()
+    assert not (ea[1] or eb[1])   # no NaNs either side
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 def test_sharded_spp_batching(reference_assets):
     """The sharded engine accepts the spp-batched configuration too (the
     whole tuned surface is shardable, not a reduced subset)."""
