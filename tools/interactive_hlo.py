@@ -21,7 +21,7 @@ from cuda_pathtracer_tpu.models.pathtracer import render_sample, tile_permutatio
 from cuda_pathtracer_tpu.models import film
 from cuda_pathtracer_tpu.models.guiding import init_radiance_state
 
-K = 4
+K = int(os.environ.get('K', '4'))
 scene = get_scene('sibenik', asset_dirs=['/root/reference', '.'])
 arrays, dyn = scene.to_device(), scene.dynamic_arrays()
 cam = Camera.create([0.0, 5.0, -16.0], [0, 0, 1], 1.5, 12.0, 0.0)
