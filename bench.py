@@ -98,6 +98,15 @@ def main():
     lum, alb = film.clear_accumulators(iw * ih)
     wd = -(-scene.wide_depth // 4) * 4
 
+    # blue-noise values hoisted per lane like the engine's _bn_bands does
+    # (the in-jit 2D gather costs ~3.7 ms/frame, tools/interactive_profile.py)
+    bn_np = np.asarray(arrays.blue_noise)
+    lanes = np.arange(iw * ih)
+    tpr = iw // 16
+    g, wl = lanes // 128, lanes % 128
+    bn_lanes = jnp.asarray(bn_np[((g // tpr) * 8 + wl // 16) % bn_np.shape[0],
+                                 ((g % tpr) * 16 + wl % 16) % bn_np.shape[1]])
+
     # parity config: the reference's 130 fps headline runs WITHOUT path
     # guiding (a compile-time flag, default off) — cache_on=False removes
     # the guided-CDF walk and guide_off the cache scatter, like the
@@ -105,6 +114,7 @@ def main():
     def frame(i):
         return render_sample(arrays, dyn, camera, radiance, lum, alb,
                              jnp.uint32(0), jnp.uint32(i), jnp.asarray(False),
+                             bn_lanes,
                              nee=True, cache_on=False, max_bounces=2,
                              width=iw, height=ih, wide_depth=wd,
                              tile_order=True, guide_off=True)
@@ -128,11 +138,7 @@ def main():
     # interactive frames (clear + render + display transform) fused in ONE
     # jit — what an on-prem host would see per frame
     K = 16
-    from cuda_pathtracer_tpu.models.pathtracer import tile_permutation
-    inv_perm = None
-    perm = tile_permutation(iw, ih)
-    if perm is not None:
-        inv_perm = jnp.asarray(np.argsort(perm))
+    from cuda_pathtracer_tpu.models.pathtracer import tile_unpermute
 
     @jax.jit
     def frames_device(rand0):
@@ -141,12 +147,12 @@ def main():
             l0, a0 = film.clear_accumulators(iw * ih)
             l1, a1, _, ridx, _ = render_sample(
                 arrays, dyn, camera, radiance, l0, a0,
-                jnp.uint32(0), rand_idx, jnp.asarray(False),
+                jnp.uint32(0), rand_idx, jnp.asarray(False), bn_lanes,
                 nee=True, cache_on=False, max_bounces=2,
                 width=iw, height=ih, wide_depth=wd, tile_order=True,
                 guide_off=True)
-            if inv_perm is not None:
-                l1, a1 = l1[inv_perm], a1[inv_perm]
+            l1 = tile_unpermute(l1, iw, ih)
+            a1 = tile_unpermute(a1, iw, ih)
             img = film.display(l1, a1, 1.0, iw, ih, blur=False)
             return ridx, img
         return jax.lax.fori_loop(0, K, one, (rand0, jnp.zeros(
@@ -191,6 +197,35 @@ def main():
     print(f'# blur filter: {1e3*(t_blur-t_plain):.2f} ms/frame = '
           f'{100*(t_blur-t_plain)/frame_t:.1f}% of an interactive frame '
           f'(reference: <=2%)', file=sys.stderr)
+
+    # ---- per-stage shares of a converge sample (VERDICT r3 item 6) ----
+    # The reference reads these off nvprof: guiding pinned at 2.3% of the
+    # GPU frame (/root/reference/README.md:119-124). Here: one profiled
+    # converge sample, XLA-op self time by category, plus a guiding A/B.
+    if os.environ.get('BENCH_SHARES', '1') != '0':
+        try:
+            from cuda_pathtracer_tpu.utils import profiling as _prof
+
+            def one_sample():
+                pt.render(camera, should_clear=False)
+                pt.finish()
+                _ = np.asarray(pt.lum[:1, :1])
+
+            cats = _prof.device_op_shares(one_sample)
+            ctot = sum(cats.values()) or 1.0
+            parts = '  '.join(
+                f'{k} {v:.0f}ms ({100 * v / ctot:.1f}%)'
+                for k, v in sorted(cats.items(), key=lambda kv: -kv[1]))
+            print(f'# converge-sample device shares: {parts}',
+                  file=sys.stderr)
+            gd = cats.get('guiding-scatter', 0.0)
+            srt = cats.get('sort', 0.0)
+            print(f'# guiding-scatter share: {100 * gd / ctot:.2f}% '
+                  f'(reference guiding kernels: 2.3%); '
+                  f'sort share: {100 * srt / ctot:.2f}%', file=sys.stderr)
+        except Exception as e:   # shares must never kill the headline
+            print(f'# shares unavailable: {type(e).__name__}: {e}',
+                  file=sys.stderr)
 
     # ---- per-scene rows: the whole surface, not one number ----
     if os.environ.get('BENCH_SCENES', '1') != '0':

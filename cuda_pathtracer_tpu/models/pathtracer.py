@@ -153,6 +153,21 @@ def tile_permutation(width: int, height: int):
     return ys * width + xs
 
 
+def tile_unpermute(arr, width: int, band_h: int, bands: int = 1):
+    """Tile-order lanes -> pixel (row-major) order as a pure
+    reshape/transpose: the tile layout is structured (lane = tile-major,
+    8x16 tiles), so its inverse is a layout transform — ~10x cheaper on TPU
+    than the equivalent 307k-row gather (tools/interactive_profile.py:
+    fusion.372, 3.6 ms/frame at 640x480 vs ~0.3 ms for the copy).
+    `arr` is [bands*band_h*width, C...]; bands are already pixel-major."""
+    th = band_h // 8
+    tpr = width // 16
+    tail = arr.shape[1:]
+    a = arr.reshape(bands, th, tpr, 8, 16, *tail)
+    a = jnp.swapaxes(a, 2, 3)              # [bands, th, 8, tpr, 16, ...]
+    return a.reshape(bands * band_h * width, *tail)
+
+
 @partial(jax.jit, static_argnames=('nee', 'cache_on', 'max_bounces',
                                    'width', 'height', 'full_height',
                                    'guide_axis', 'wide_depth', 'defer_guide',
@@ -260,15 +275,16 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         bn_all = scene.blue_noise[ys % bnh, xs % bnw]
 
     def _bounce_body(c: _BounceCarry, xs_l, ys_l, soff_l, samp_l, bn_l,
-                     Bl: int):
+                     Bl: int, sort_now: bool = True):
         # extend: closest hit. On the packet path bounce rays (everything
         # after the tile-ordered primaries) are morton+octant sorted into
-        # coherent packets; the sort is gated on bounce>0 only through the
-        # data (primaries are already tile-coherent, and argsort on a
-        # constant key is the identity).
+        # coherent packets. sort_now=False on the PEELED bounce 0 (below):
+        # primaries are already tile-coherent, so its argsort + the 4
+        # permute fusions around trace (~7 ms/frame at 640x480,
+        # tools/interactive_profile.py) buy nothing.
         order = (_sort_order(c.ro, c.rd, dyn.bounds, c.alive,
                              direction_major=True)
-                 if do_sort else None)
+                 if (do_sort and sort_now) else None)
         hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
                     wide_depth=wide_depth, order=order)
 
@@ -286,7 +302,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
             sdest = out.shadow_o + out.shadow_d * out.shadow_tmax[:, None]
             sorder = (_sort_order(sdest, out.shadow_d, dyn.bounds,
                                   out.shadow_active)
-                      if do_sort else None)
+                      if (do_sort and sort_now) else None)
             sh = trace(scene, dyn, out.shadow_o, out.shadow_d,
                        t_max=out.shadow_tmax, active=out.shadow_active,
                        any_hit=True, wide_depth=wide_depth, order=sorder)
@@ -324,6 +340,14 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     def body(c: _BounceCarry):
         return _bounce_body(c, xs, ys, soff, samp, bn_all, L)
 
+    # peel bounce 0 out of the while_loop on the sorted-packet path: the
+    # primary wavefront (and its NEE shadow wave, whose destinations are the
+    # primary hit points) is tile-coherent by construction, so the peeled
+    # copy runs WITHOUT the sort + permutes. Per-ray results are identical
+    # (traversal is exact per ray; only packet grouping changes, which can
+    # flip measure-zero exact-t ties / rescued grazing visits — PERF.md).
+    peel_b0 = do_sort and tile_order and max_bounces >= 1
+
     # ---- tail narrowing ----
     # After TAIL_START bounces, branch termination + Russian roulette leave
     # only a fraction of lanes alive, but a lockstep bounce still costs the
@@ -344,6 +368,9 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
         main_cond = lambda c: (c.bounce < TAIL_START) & jnp.any(c.alive)  # noqa: E731
     else:
         main_cond = cond
+    if peel_b0:
+        carry = _bounce_body(carry, xs, ys, soff, samp, bn_all, L,
+                             sort_now=False)
     final = jax.lax.while_loop(main_cond, body, carry)
 
     if use_tail:
@@ -653,13 +680,7 @@ class Pathtracer:
         self.bands = bands
         self.band_h = self.height // bands
         self.tile_order = (self.width % 16 == 0) and (self.band_h % 8 == 0)
-        self._inv_perm = None
         self._bn_cache = None
-        if self.tile_order:
-            perm = tile_permutation(self.width, self.band_h)  # lane -> pixel
-            full = _np.concatenate([perm + b * self.band_h * self.width
-                                    for b in range(bands)])
-            self._inv_perm = jnp.asarray(_np.argsort(full))
 
     def _bn_bands(self):
         """Per-band per-lane blue-noise values, hoisted out of render_sample
@@ -796,17 +817,17 @@ class Pathtracer:
     def accumulators_pixel_order(self):
         """(lum, alb) in pixel (row-major) order regardless of the internal
         tile-lane layout — for goldens, checkpoints and display."""
-        if self._inv_perm is not None:
-            return self.lum[self._inv_perm], self.alb[self._inv_perm]
+        if self.tile_order:
+            return (tile_unpermute(self.lum, self.width, self.band_h,
+                                   self.bands),
+                    tile_unpermute(self.alb, self.width, self.band_h,
+                                   self.bands))
         return self.lum, self.alb
 
     def image(self, blur: bool = False):
-        lum, alb = self.lum, self.alb
-        if self._inv_perm is not None:
-            # tile-ordered lanes -> pixel order (one device gather per
-            # displayed frame)
-            lum = lum[self._inv_perm]
-            alb = alb[self._inv_perm]
+        # tile-ordered lanes -> pixel order (a reshape/transpose, not a
+        # gather — see tile_unpermute)
+        lum, alb = self.accumulators_pixel_order()
         return film.display(lum, alb, float(self.sample_idx),
                             self.width, self.height, blur=blur)
 

@@ -140,25 +140,30 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
 
     # ---- hit decode: every per-hit lookup is ONE fat-row gather ----
     pid = jnp.maximum(hit.prim_id, 0)
-    # one pid-keyed gather: gid|inst metadata AND the world verts (cols
-    # 2:11) for barycentric re-intersect texturing — a separate [WT,9]
-    # tris gather costs ~20 ms/bounce in XLA's in-loop layout choice.
+    # ONE pid-keyed gather serves gid|inst, the world verts (cols 2:11, for
+    # barycentric re-intersect texturing) AND the baked shade attrs (cols
+    # 11:27: model-space normal/tangent/bitangent, uvs, mid — scene.py bakes
+    # tri_packed[gid] per world tri). Separate gathers each cost a full
+    # dispatch (~1-3 ms staged, 8 ms when MSA's VMEM budget leaves one in
+    # HBM, tools/interactive_profile.py).
     # NOTE(perf, measured): gathering dyn.tri_meta DIRECTLY (a while-loop
     # parameter) runs from HBM in a slow emitter at ~6.5 ms/bounce, while
-    # the same-shape tri_guide CONCAT below is assembled into VMEM by
-    # memory-space assignment (ConcatBitcast of async slice copies) and
-    # gathers at ~0.75 ms. MSA never prefetches the loop parameter itself
-    # (optimization_barrier/limit-raising probes: tools/
-    # scoped_vmem_engine_ab.py), but a swapped-half concat — which the
-    # algebraic simplifier cannot fold back into the parameter — recreates
-    # the staged-concat shape and gets the fast path. Columns here are
-    # therefore addressed through the swap: [8:16]+[0:8] → gid at 8,
-    # inst at 9, v0v1 at 10:16, v2 at 0:3.
+    # a CONCAT is assembled into VMEM by memory-space assignment
+    # (ConcatBitcast of async slice copies) and gathers at ~0.75 ms. MSA
+    # never prefetches the loop parameter itself (optimization_barrier/
+    # limit-raising probes: tools/scoped_vmem_engine_ab.py), but a
+    # swapped-half concat — which the algebraic simplifier cannot fold back
+    # into the parameter — recreates the staged-concat shape and gets the
+    # fast path.
     tm = dyn.tri_meta
-    tm_tab = jnp.concatenate([tm[:, 8:], tm[:, :8]], axis=1)
-    tri_meta = tm_tab[pid]                 # f32[B, 16] (swapped halves)
-    gid = jnp.maximum(tri_meta[..., 8].astype(jnp.int32), 0)
-    inst = jnp.maximum(tri_meta[..., 9].astype(jnp.int32), 0)
+    tm_tab = jnp.concatenate([tm[:, 16:], tm[:, :16]], axis=1)
+    tri_meta = tm_tab[pid]                 # f32[B, 32] (swapped halves)
+    # old col j lives at (j+16)%32 through the swap; SCALAR column picks
+    # only (block slices push XLA to the slow row-major gather emitter,
+    # tools/gather_layout_probe.py)
+    mcol = lambda j: tri_meta[..., (j + 16) % 32]  # noqa: E731
+    gid = jnp.maximum(mcol(0).astype(jnp.int32), 0)
+    inst = jnp.maximum(mcol(1).astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
     is_sphere = live & (hit.prim_type == PRIM_SPHERE)
     is_plane = live & (hit.prim_type == PRIM_PLANE)
@@ -178,20 +183,15 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
         uvs = trip[..., 9:15]                             # [B, 6]
         mid_f = trip[..., 15]
     else:
-        # gathering scene.tri_packed (a jit parameter) directly runs from
-        # the slow HBM emitter (~8 ms/shade at 307k lanes); the swapped-half
-        # concat recreates the MSA-staged VMEM form (see tri_meta NOTE
-        # above). Columns address through the swap: old j lives at (j+8)%16.
-        tp = scene.tri_packed
-        tsw = jnp.concatenate([tp[:, 8:], tp[:, :8]], axis=1)[gid]
-        # SCALAR column picks only: block slices (tsw[..., 8:11]) push XLA
-        # to the slow row-major gather emitter (tools/gather_layout_probe.py)
-        c = lambda j: tsw[..., (j + 8) % 16]  # noqa: E731 old col j
-        nrm_model = jnp.stack([c(0), c(1), c(2)], axis=-1)
-        tang = jnp.stack([c(3), c(4), c(5)], axis=-1)
-        bitang = jnp.stack([c(6), c(7), c(8)], axis=-1)
-        uvs = jnp.stack([c(9), c(10), c(11), c(12), c(13), c(14)], axis=-1)
-        mid_f = c(15)
+        # no second gather: the per-tri shade attrs are BAKED into
+        # tri_meta cols 11:27 per world triangle (scene.py), so the one
+        # tm_tab gather above already fetched them
+        nrm_model = jnp.stack([mcol(11), mcol(12), mcol(13)], axis=-1)
+        tang = jnp.stack([mcol(14), mcol(15), mcol(16)], axis=-1)
+        bitang = jnp.stack([mcol(17), mcol(18), mcol(19)], axis=-1)
+        uvs = jnp.stack([mcol(20), mcol(21), mcol(22), mcol(23), mcol(24),
+                         mcol(25)], axis=-1)
+        mid_f = mcol(26)
         rc_row = None
     instp = table_lookup(dyn.inst_packed, inst)           # [B, 16]
     inst_tf = instp[..., 0:12].reshape(*instp.shape[:-1], 3, 4)
@@ -266,8 +266,7 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # slices: block slices ([..., 2:11]) push XLA to a row-major {1,0}
     # gather emitter that costs ~20 ms/bounce; scalar-column consumers keep
     # the ~5 ms column-major form (tools/gather_layout_probe.py)
-    tri9 = jnp.stack([tri_meta[..., j] for j in (10, 11, 12, 13, 14, 15,
-                                                 0, 1, 2)], axis=-1)
+    tri9 = jnp.stack([mcol(j) for j in range(2, 11)], axis=-1)
     _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
                                       tri9[..., 6:9])
     w0 = 1.0 - tu - tv

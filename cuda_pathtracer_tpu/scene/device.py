@@ -108,10 +108,13 @@ class DynamicArrays(NamedTuple):
     wide_rows: jnp.ndarray       # f32[NW, 128]
     light_packed: jnp.ndarray    # f32[TL, 16]: v0|v1|v2|normal|emission
     inst_packed: jnp.ndarray     # f32[I, 16]: transform(12)|override(bitcast)
-    tri_meta: jnp.ndarray        # f32[WT, 16]: gid|inst as float values,
+    tri_meta: jnp.ndarray        # f32[WT, 32]: gid|inst as float values,
                                  #   cols 2:11 world verts v0|v1|v2 (mirrors
                                  #   world.tris so shade's texturing rides
-                                 #   the same gather), cols 11:16 pad
+                                 #   the same gather), cols 11:27 the baked
+                                 #   per-tri shade attrs (model-space
+                                 #   normal|tangent|bitangent, uvs, mid) —
+                                 #   shade needs ONE gather per bounce
                                  #   (< 2^24; f32 rows gather ~3.5x faster
                                  #   than s32 rows on TPU)
     # split packet tables (ops/traverse_packet.py) derived from wide_rows —

@@ -617,14 +617,29 @@ class Scene:
             # (tools/tpu_op_profile.py fusion.1267) — one 16-col gather
             # serves gid|inst AND the verts.
             assert len(wb.tri_gid) < (1 << 24), 'gid exceeds f32 exactness'
-            tri_meta = np.zeros((len(wb.tri_gid), 16), np.float32)
+            # Cols 11:27 bake the per-triangle SHADE attributes (the same
+            # values tri_packed[gid] holds, pre-gathered per world tri):
+            # shade then reads everything except the guiding-cache row off
+            # THIS one gather — one big gather per bounce instead of two
+            # (the second [WT,16] gather measured 8 ms/frame when MSA's
+            # VMEM budget left it in HBM, tools/interactive_profile.py).
+            # All attrs are model-space (normals/tangents transform in
+            # shade by inst_tf), so refit leaves cols 11: untouched.
+            tri_meta = np.zeros((len(wb.tri_gid), 32), np.float32)
             tri_meta[:, 0] = wb.tri_gid
             tri_meta[:, 1] = wb.tri_inst
             tri_meta[:, 2:5] = wb.tri_v0
             tri_meta[:, 5:8] = wb.tri_v1
             tri_meta[:, 8:11] = wb.tri_v2
+            g = np.asarray(wb.tri_gid, np.int64)
+            tri_meta[:, 11:14] = self._normal[g]
+            tri_meta[:, 14:17] = self._tangent[g]
+            tri_meta[:, 17:20] = self._bitangent[g]
+            tri_meta[:, 20:26] = self._uv[g]
+            tri_meta[:, 26] = np.asarray(self._tri_mat,
+                                         np.int32).view(np.float32)[g]
         else:
-            tri_meta = np.zeros((0, 16), np.float32)
+            tri_meta = np.zeros((0, 32), np.float32)
 
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),

@@ -73,3 +73,69 @@ def device_trace(log_dir: str = '/tmp/jax-trace'):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def _categorize_op(name: str) -> str:
+    n = name.lower()
+    if '_guide_scatter' in n:
+        return 'guiding-scatter'
+    if '_run_packets' in n or 'custom' in n or 'mosaic' in n:
+        return 'traversal-kernels'
+    if 'sort' in n:
+        return 'sort'
+    if 'scatter' in n or 'dynamic-update' in n:
+        return 'scatter'
+    if 'fusion' in n:
+        return 'fusion'
+    if 'copy' in n or 'bitcast' in n or 'transpose' in n:
+        return 'copy/layout'
+    if 'reduce' in n:
+        return 'reduce'
+    return 'other'
+
+
+def device_op_shares(run, log_dir: str = '/tmp/jax-trace-shares'):
+    """Run `run()` under a profiler trace and return {category: device ms}
+    of XLA-op SELF time — the per-stage cost breakdown the reference reads
+    off nvprof (its guiding share: 2.3% of frame, README.md:119-124).
+    `run` must fence its own device work (block_until_ready + a tiny
+    host transfer; this tunnel's block_until_ready can return early)."""
+    import glob
+    import gzip
+    import json
+    import os
+    os.system(f'rm -rf {log_dir}')
+    jax.profiler.start_trace(log_dir)
+    run()
+    jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(f'{log_dir}/**/*.trace.json.gz', recursive=True))
+    if not paths:
+        return {}
+    evs = json.load(gzip.open(paths[-1], 'rt'))['traceEvents']
+    dev_pid = ops_tid = None
+    for e in evs:
+        if e.get('ph') == 'M' and e.get('name') == 'process_name' \
+                and 'TPU' in e['args'].get('name', ''):
+            dev_pid = e['pid']
+    for e in evs:
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name' \
+                and e.get('pid') == dev_pid \
+                and e['args'].get('name') == 'XLA Ops':
+            ops_tid = e['tid']
+    rows = [e for e in evs if e.get('ph') == 'X' and e.get('pid') == dev_pid
+            and e.get('tid') == ops_tid]
+    rows.sort(key=lambda e: (e['ts'], -e['dur']))
+    stack, self_us = [], defaultdict(float)
+    for e in rows:
+        ts, dur, name = e['ts'], e['dur'], e['name']
+        while stack and ts >= stack[-1][0] + stack[-1][1]:
+            stack.pop()
+        if stack:
+            self_us[stack[-1][2]] -= dur
+        self_us[name] += dur
+        stack.append((ts, dur, name))
+    cat_ms = defaultdict(float)
+    for name, us in self_us.items():
+        cat_ms[_categorize_op(name)] += us / 1e3
+    return dict(cat_ms)

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(__file__) + '/..')
 
 from cuda_pathtracer_tpu.scene.builder import get_scene
 from cuda_pathtracer_tpu.core.camera import Camera
-from cuda_pathtracer_tpu.models.pathtracer import render_sample, tile_permutation
+from cuda_pathtracer_tpu.models.pathtracer import render_sample, tile_unpermute
 from cuda_pathtracer_tpu.models import film
 from cuda_pathtracer_tpu.models.guiding import init_radiance_state
 
@@ -28,8 +28,12 @@ cam = Camera.create([0.0, 5.0, -16.0], [0, 0, 1], 1.5, 12.0, 0.0)
 iw, ih = 640, 480
 radiance = init_radiance_state(int(arrays.tri_mat.shape[0]))
 wd = -(-scene.wide_depth // 4) * 4
-perm = tile_permutation(iw, ih)
-inv_perm = jnp.asarray(np.argsort(perm)) if perm is not None else None
+bn_np = np.asarray(arrays.blue_noise)
+_lanes = np.arange(iw * ih)
+_tpr = iw // 16
+_g, _wl = _lanes // 128, _lanes % 128
+bn_lanes = jnp.asarray(bn_np[((_g // _tpr) * 8 + _wl // 16) % bn_np.shape[0],
+                             ((_g % _tpr) * 16 + _wl % 16) % bn_np.shape[1]])
 
 
 @jax.jit
@@ -39,12 +43,12 @@ def frames_device(rand0):
         l0, a0 = film.clear_accumulators(iw * ih)
         l1, a1, _, ridx, _ = render_sample(
             arrays, dyn, cam, radiance, l0, a0,
-            jnp.uint32(0), rand_idx, jnp.asarray(False),
+            jnp.uint32(0), rand_idx, jnp.asarray(False), bn_lanes,
             nee=True, cache_on=False, max_bounces=2,
             width=iw, height=ih, wide_depth=wd, tile_order=True,
             guide_off=True)
-        if inv_perm is not None:
-            l1, a1 = l1[inv_perm], a1[inv_perm]
+        l1 = tile_unpermute(l1, iw, ih)
+        a1 = tile_unpermute(a1, iw, ih)
         img = film.display(l1, a1, 1.0, iw, ih, blur=False)
         return ridx, img
     return jax.lax.fori_loop(0, K, one, (rand0, jnp.zeros(
