@@ -34,7 +34,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .bvh import BVHNodes
+from .bvh import BVHNodes, _surface_area
 
 ROW = 128
 ARITY = 16
@@ -79,6 +79,84 @@ def _collect_leaf_ranges(nodes: BVHNodes, idx: int):
     return out
 
 
+def _dp_collapse_plan(nodes: BVHNodes, tris_count: np.ndarray,
+                      c_leaf: float, c_node: float):
+    """Optimal binary->16-ary partition (the collapse DP of Ylitie et al.
+    2017, re-derived for this row format; replaces the greedy largest-area
+    expansion whose bottom nodes average 4.2 of 16 slots on sibenik).
+
+    C[n, j] = min expected visit cost of covering subtree n with a FOREST
+    of at most j wide-node slots. C[n,1] chooses leaf (tris <= LEAF_MAX,
+    flat cost — the kernel's leaf visit prices 12 tris at one price) vs an
+    internal wide node (c_node + optimal distribution of its two binary
+    children over ARITY slots). Visit probability ~ surface area (single-
+    ray SAH; the exact union sim prices the result on real wavefronts —
+    tools/collapse_ab.py).
+
+    Returns (leaf_better, whole, kbest, kdist): per-node emit decisions.
+    Vectorized level-by-level so the 2M-tri class plans in seconds.
+    """
+    N = nodes.vmin.shape[0]
+    K = ARITY
+    A = _surface_area(nodes.vmin, nodes.vmax).astype(np.float64)
+    is_leaf = nodes.leaf_count > 0
+    left = nodes.left.astype(np.int64)
+
+    # depth levels (children = left, left+1)
+    depth = np.zeros(N, np.int32)
+    order = [np.array([0], np.int64)]
+    cur = order[0]
+    while True:
+        cur = cur[~is_leaf[cur]]
+        if cur.size == 0:
+            break
+        nxt = np.concatenate([left[cur], left[cur] + 1])
+        depth[nxt] = depth[cur[0]] + 1
+        order.append(nxt)
+        cur = nxt
+
+    INF = np.float64(1e30)
+    C = np.full((N, K + 1), INF)
+    whole = np.zeros((N, K + 1), bool)
+    kbest = np.zeros((N, K + 1), np.int8)
+    kdist = np.zeros(N, np.int8)      # argmin k of the ARITY-way dist
+    leaf_better = np.zeros(N, bool)
+
+    lf = np.where(is_leaf)[0]
+    C[lf, 1:] = (c_leaf * A[lf])[:, None]
+    whole[lf, :] = True
+    leaf_better[lf] = True
+
+    for lev in reversed(order):
+        n = lev[~is_leaf[lev]]
+        if n.size == 0:
+            continue
+        l, r = left[n], left[n] + 1
+        Cl, Cr = C[l], C[r]                      # [M, K+1]
+        dist = np.full((n.size, K + 1), INF)
+        karg = np.zeros((n.size, K + 1), np.int8)
+        for j in range(2, K + 1):
+            for k in range(1, j):
+                cand = Cl[:, k] + Cr[:, j - k]
+                better = cand < dist[:, j]
+                dist[better, j] = cand[better]
+                karg[better, j] = k
+        cleaf = np.where(tris_count[n] <= LEAF_MAX, c_leaf * A[n], INF)
+        cwide = c_node * A[n] + dist[:, K]
+        cwhole = np.minimum(cleaf, cwide)
+        leaf_better[n] = cleaf <= cwide
+        kdist[n] = karg[:, K]
+        C[n, 1] = cwhole
+        whole[n, 1] = True
+        kbest[n, 1] = 0
+        for j in range(2, K + 1):
+            w = cwhole <= dist[:, j]
+            C[n, j] = np.where(w, cwhole, dist[:, j])
+            whole[n, j] = w
+            kbest[n, j] = np.where(w, 0, karg[:, j])
+    return leaf_better, whole, kbest, kdist
+
+
 def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
                    tri_v2: np.ndarray, tri_index_base: int = 0,
                    fill: str | None = None) -> WideBVH:
@@ -100,8 +178,10 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
     prices the visit-count side; kernel_lab3 the per-visit side).
     None reads CPT_WIDE_FILL (default 'default').
     """
+    import os
     if fill is None:
-        fill = __import__('os').environ.get('CPT_WIDE_FILL', 'default')
+        fill = os.environ.get('CPT_WIDE_FILL', 'default')
+    collapse = os.environ.get('CPT_COLLAPSE', 'dp')
     n_tris_counts: dict[int, int] = {}
 
     def tri_count(i):
@@ -133,6 +213,27 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
             np.asarray(gids, np.int32).tobytes(), np.float32)
         rows.append(row)
         return len(rows) - 1
+
+    def emit_inner(slots, depth: int, emit_child) -> int:
+        """Reserve + fill one inner row whose children are `slots`."""
+        row_id = len(rows)
+        rows.append(np.zeros(ROW, np.float32))  # reserve position
+        row = np.zeros(ROW, np.float32)
+        row[0] = float(len(slots))
+        refs = np.zeros(ARITY, np.int32)
+        # inside-out boxes for empty slots
+        box = np.zeros((6, ARITY), np.float32)
+        box[0:3] = 3.0e38
+        box[3:6] = -3.0e38
+        for k, s in enumerate(slots):
+            box[0:3, k] = nodes.vmin[s]
+            box[3:6, k] = nodes.vmax[s]
+            refs[k] = emit_child(s, depth + 1)
+        row[INNER_BOX0:INNER_BOX0 + 6 * ARITY] = box.reshape(-1)
+        row[INNER_REFS:INNER_REFS + ARITY] = np.frombuffer(
+            refs.tobytes(), np.float32)
+        rows[row_id] = row
+        return row_id
 
     def emit(idx: int, depth: int) -> int:
         """Emit the subtree rooted at binary node idx; returns its row id."""
@@ -179,34 +280,60 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
                 slots.insert(best, int(nodes.left[s]) + 1)
                 slots.insert(best, int(nodes.left[s]))
 
-        row_id = len(rows)
-        rows.append(np.zeros(ROW, np.float32))  # reserve position
-        row = np.zeros(ROW, np.float32)
-        row[0] = float(len(slots))
-        refs = np.zeros(ARITY, np.int32)
-        # inside-out boxes for empty slots
-        box = np.zeros((6, ARITY), np.float32)
-        box[0:3] = 3.0e38
-        box[3:6] = -3.0e38
-        for k, s in enumerate(slots):
-            box[0, k] = nodes.vmin[s][0]
-            box[1, k] = nodes.vmin[s][1]
-            box[2, k] = nodes.vmin[s][2]
-            box[3, k] = nodes.vmax[s][0]
-            box[4, k] = nodes.vmax[s][1]
-            box[5, k] = nodes.vmax[s][2]
-            refs[k] = emit(s, depth + 1)
-        row[INNER_BOX0:INNER_BOX0 + 6 * ARITY] = box.reshape(-1)
-        row[INNER_REFS:INNER_REFS + ARITY] = np.frombuffer(
-            refs.tobytes(), np.float32)
-        rows[row_id] = row
-        return row_id
+        return emit_inner(slots, depth, emit)
+
+    # ---- DP collapse (CPT_COLLAPSE=dp, the default) ----
+    # cost constants from the measured kernel step prices (PERF.md / tools/
+    # kernel_lab3): leaf visit ~610 ns flat up to LEAF_MAX tris, inner visit
+    # ~430 ns -> c_leaf/c_node = 1.4
+    def emit_dp(idx: int, depth: int) -> int:
+        max_depth[0] = max(max_depth[0], depth)
+        if leaf_better[idx]:
+            return emit_leaf(_collect_leaf_ranges(nodes, idx))
+        l = int(nodes.left[idx])
+        k = int(kdist[idx])
+        slots = roots(l, k) + roots(l + 1, ARITY - k)
+        return emit_inner(slots, depth, emit_dp)
+
+    def roots(m: int, j: int) -> list:
+        """Forest roots realizing C[m, j] (DP backtrack)."""
+        if j <= 1 or whole[m, j]:
+            return [m]
+        k = int(kbest[m, j])
+        l = int(nodes.left[m])
+        return roots(l, k) + roots(l + 1, j - k)
 
     import sys
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(100000)
     try:
-        root = emit(0, 1)
+        if collapse == 'dp' and nodes.leaf_count[0] == 0:
+            # vectorized bottom-up subtree triangle counts
+            N = nodes.vmin.shape[0]
+            is_lf = nodes.leaf_count > 0
+            lft = nodes.left.astype(np.int64)
+            tris_count = np.where(is_lf, nodes.leaf_count, 0).astype(np.int64)
+            levels = [np.array([0], np.int64)]
+            cur = levels[0]
+            while True:
+                cur = cur[~is_lf[cur]]
+                if cur.size == 0:
+                    break
+                nxt = np.concatenate([lft[cur], lft[cur] + 1])
+                levels.append(nxt)
+                cur = nxt
+            for lev in reversed(levels):
+                n = lev[~is_lf[lev]]
+                if n.size:
+                    tris_count[n] = (tris_count[lft[n]]
+                                     + tris_count[lft[n] + 1])
+            leaf_better, whole, kbest, kdist = _dp_collapse_plan(
+                nodes, tris_count,
+                c_leaf=float(os.environ.get('CPT_DP_CLEAF', '1.4')),
+                c_node=1.0)
+            root = emit_dp(0, 1)
+        else:
+            root = emit(0, 1)
     finally:
         sys.setrecursionlimit(old)
     assert root == 0

@@ -286,7 +286,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                              direction_major=True)
                  if (do_sort and sort_now) else None)
         hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
-                    wide_depth=wide_depth, order=order)
+                    wide_depth=wide_depth, order=order,
+                    coherent=not sort_now)
 
         out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
                     xs_l, ys_l, c.rand_idx + soff_l, samp_l, c.bounce,
@@ -305,7 +306,8 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                       if (do_sort and sort_now) else None)
             sh = trace(scene, dyn, out.shadow_o, out.shadow_d,
                        t_max=out.shadow_tmax, active=out.shadow_active,
-                       any_hit=True, wide_depth=wide_depth, order=sorder)
+                       any_hit=True, wide_depth=wide_depth, order=sorder,
+                       coherent=not sort_now)
             add = out.shadow_active & ~sh.intersected
             st2 = out.state._replace(
                 accucolor=out.state.accucolor

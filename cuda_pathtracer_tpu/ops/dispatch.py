@@ -26,6 +26,14 @@ PACKET_MAX_ROWS = 180_000
 HYBRID_TOP_ROWS = int(__import__('os').environ.get(
     'CPT_HYBRID_ROWS', '150000'))
 
+# Per-wavefront share-K depth (measured on-chip, tools/interactive_profile
+# round 4): share=0 on coherent waves is 1.2-1.35x SLOWER in-engine (the
+# multipush_lab 0.84x share-8 prim figure does not transfer), and share=16
+# is a wash on sorted waves (+4% closest, -18% any-hit). Default 8 for
+# everything; both knobs kept for re-measurement.
+SORTED_SHARE = int(__import__('os').environ.get('CPT_SORTED_SHARE', '8'))
+COHERENT_SHARE = __import__('os').environ.get('CPT_COHERENT_SHARE', '')
+
 
 # 'auto': packet kernel on TPU, wide path on CPU (Mosaic is TPU-only; the
 # interpreter is far too slow for full renders). Tests force 'on' to exercise
@@ -61,9 +69,12 @@ def use_sorted_packets(dyn) -> bool:
 
 def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
           any_hit: bool = False, stop_on_hit=None, wide_depth: int = 0,
-          order=None) -> Hit:
+          order=None, coherent: bool = False) -> Hit:
     """`order` (optional i32[B] permutation) pre-sorts rays for packet
-    coherence; results come back in the caller's original ray order."""
+    coherence; results come back in the caller's original ray order.
+    `coherent` hints that the wavefront is tile/camera-coherent — today it
+    only routes the CPT_COHERENT_SHARE override (measured: share-8 is best
+    there too; see SORTED_SHARE note above)."""
     interp = jax.default_backend() == 'cpu'
     if wide_depth > 0 and use_packet2(dyn) and (
             PACKET_MODE == 'on' or not interp):
@@ -76,7 +87,9 @@ def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
             scene, MergedTable(dyn.packet_merged, wide_depth), ro, rd,
             t_max=t_max, active=active, any_hit=any_hit,
             stop_on_hit=stop_on_hit, order=order, interpret=interp,
-            hbm=hbm, split=(HYBRID_TOP_ROWS & ~7) if hbm else 0)
+            hbm=hbm, split=(HYBRID_TOP_ROWS & ~7) if hbm else 0,
+            share=(int(COHERENT_SHARE) if (coherent and COHERENT_SHARE)
+                   else (None if hbm else SORTED_SHARE)))
     if wide_depth > 0 and use_packet_path(dyn):
         tables = PacketTables(dyn.packet_inner, dyn.packet_leaf, wide_depth)
         return traverse_packet(scene, tables, ro, rd, t_max=t_max,
