@@ -181,6 +181,11 @@ def main():
     img_b = jax.jit(lambda l, a: film.display(l, a, 8.0, width, height,
                                               blur=True))
     la, aa = pt.accumulators_pixel_order()
+    # canonical layouts: the unpermute's reshape output can carry a
+    # transposed device layout, which would charge an input copy to the
+    # timed programs and distort the blur-minus-plain difference
+    la = jax.device_put(np.asarray(la))
+    aa = jax.device_put(np.asarray(aa))
     img_f(la, aa).block_until_ready()
     img_b(la, aa).block_until_ready()
     t0 = time.perf_counter()
@@ -212,6 +217,7 @@ def main():
                 _ = np.asarray(pt.lum[:1, :1])
 
             cats = _prof.device_op_shares(one_sample)
+            top_ops = cats.pop('_top_ops', [])
             ctot = sum(cats.values()) or 1.0
             parts = '  '.join(
                 f'{k} {v:.0f}ms ({100 * v / ctot:.1f}%)'
@@ -223,6 +229,9 @@ def main():
             print(f'# guiding-scatter share: {100 * gd / ctot:.2f}% '
                   f'(reference guiding kernels: 2.3%); '
                   f'sort share: {100 * srt / ctot:.2f}%', file=sys.stderr)
+            print('# top ops: ' + '  '.join(
+                f'{n[:40]} {ms:.0f}ms' for n, ms in top_ops[:8]),
+                file=sys.stderr)
         except Exception as e:   # shares must never kill the headline
             print(f'# shares unavailable: {type(e).__name__}: {e}',
                   file=sys.stderr)

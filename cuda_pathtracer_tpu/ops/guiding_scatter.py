@@ -142,6 +142,7 @@ def segment_sum_pairs(val_e, val_w, seg, *, num_segments: int,
     s_rows = -(-num_segments // 128) + WROWS   # slack so the last window fits
     out = pl.pallas_call(
         _kernel(n_tiles, s_rows),
+        name='_guide_scatter',
         out_shape=jax.ShapeDtypeStruct((s_rows, 256), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

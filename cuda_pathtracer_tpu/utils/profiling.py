@@ -138,4 +138,6 @@ def device_op_shares(run, log_dir: str = '/tmp/jax-trace-shares'):
     cat_ms = defaultdict(float)
     for name, us in self_us.items():
         cat_ms[_categorize_op(name)] += us / 1e3
+    top = sorted(self_us.items(), key=lambda kv: -kv[1])[:12]
+    cat_ms['_top_ops'] = [(n, us / 1e3) for n, us in top]
     return dict(cat_ms)
