@@ -156,12 +156,30 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # into the parameter — recreates the staged-concat shape and gets the
     # fast path.
     tm = dyn.tri_meta
-    tm_tab = jnp.concatenate([tm[:, 16:], tm[:, :16]], axis=1)
-    tri_meta = tm_tab[pid]                 # f32[B, 32] (swapped halves)
-    # old col j lives at (j+16)%32 through the swap; SCALAR column picks
-    # only (block slices push XLA to the slow row-major gather emitter,
-    # tools/gather_layout_probe.py)
-    mcol = lambda j: tri_meta[..., (j + 16) % 32]  # noqa: E731
+    # Build the swapped staged concat from ONLY the columns this program
+    # reads: every MB of the derived table competes for MSA's VMEM budget,
+    # and when it loses the gather runs from HBM at ~3x the price
+    # (tools/interactive_profile.py). cache_on reads just gid|inst|verts
+    # (attrs ride tri_guide below); cache_off needs the baked attrs too,
+    # minus tangent/bitangent when the scene has no normal maps. The two
+    # concat parts must be a genuine SWAP (a single slice would be folded
+    # back into the HBM parameter by the algebraic simplifier).
+    has_nmap = int(scene.nmap_marker.shape[0]) > 0
+    if cache_on:
+        cols = list(range(6, 11)) + list(range(0, 6))          # old 0..10
+    elif has_nmap:
+        cols = list(range(16, 27)) + list(range(0, 16))        # old 0..26
+    else:
+        # drop tangent/bitangent (old 14:20) and the pad
+        cols = list(range(20, 27)) + list(range(0, 14))
+    _pos = {c: i for i, c in enumerate(cols)}
+    split_at = cols.index(0)
+    tm_tab = jnp.concatenate([tm[:, cols[0]:cols[split_at - 1] + 1],
+                              tm[:, 0:cols[-1] + 1]], axis=1)
+    tri_meta = tm_tab[pid]                 # f32[B, len(cols)]
+    # SCALAR column picks only (block slices push XLA to the slow
+    # row-major gather emitter, tools/gather_layout_probe.py)
+    mcol = lambda j: tri_meta[..., _pos[j]]  # noqa: E731
     gid = jnp.maximum(mcol(0).astype(jnp.int32), 0)
     inst = jnp.maximum(mcol(1).astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
@@ -185,10 +203,16 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     else:
         # no second gather: the per-tri shade attrs are BAKED into
         # tri_meta cols 11:27 per world triangle (scene.py), so the one
-        # tm_tab gather above already fetched them
+        # tm_tab gather above already fetched them. tangent/bitangent are
+        # consumed only by the normal-map branch (statically absent here
+        # when the scene carries no normal maps — and then also absent
+        # from the staged concat above).
         nrm_model = jnp.stack([mcol(11), mcol(12), mcol(13)], axis=-1)
-        tang = jnp.stack([mcol(14), mcol(15), mcol(16)], axis=-1)
-        bitang = jnp.stack([mcol(17), mcol(18), mcol(19)], axis=-1)
+        if has_nmap:
+            tang = jnp.stack([mcol(14), mcol(15), mcol(16)], axis=-1)
+            bitang = jnp.stack([mcol(17), mcol(18), mcol(19)], axis=-1)
+        else:
+            tang = bitang = None
         uvs = jnp.stack([mcol(20), mcol(21), mcol(22), mcol(23), mcol(24),
                          mcol(25)], axis=-1)
         mid_f = mcol(26)
