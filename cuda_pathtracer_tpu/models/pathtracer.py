@@ -588,20 +588,53 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     # pathtracer.h:292), and the host knows all three — samples past the
     # 100-sample training window shouldn't keep paying the segment-sum.
     n_tris = radiance.cache.shape[0]
+
+    def _cache_slice(s):
+        """One sample's lane block of the (sample-major) SampleCache."""
+        sl = slice(s * B, (s + 1) * B)
+        return SampleCache(stype=final.cache.stype[:, sl],
+                           tri=final.cache.tri[:, sl],
+                           bucket=final.cache.bucket[:, sl],
+                           cum_mask=final.cache.cum_mask[:, sl])
+
+    # spp > 1: the nonlinear EMA is applied ONCE PER SAMPLE, like the
+    # reference's per-sample kernel_propagate_buckets (pathtracer.h:292-296)
+    # — a batched dispatch returns per-sample sums (deferred) or folds the
+    # EMA sequentially (inline). Same total scatter work; only the [T,8]
+    # elementwise propagate repeats.
     if defer_guide:
         if guide_off:
             z = jnp.zeros((n_tris, radiance.cache.shape[1]), jnp.float32)
-            radiance2 = (z, z)
+            radiance2 = (z, z) if spp == 1 else \
+                (jnp.zeros((spp,) + z.shape, jnp.float32),
+                 jnp.zeros((spp,) + z.shape, jnp.float32))
         else:
             from .guiding import accumulate_buckets
-            radiance2 = accumulate_buckets(n_tris, final.cache,
-                                           final.state.accucolor)
+            if spp == 1:
+                radiance2 = accumulate_buckets(n_tris, final.cache,
+                                               final.state.accucolor)
+            else:
+                parts = [accumulate_buckets(
+                    n_tris, _cache_slice(s),
+                    final.state.accucolor[s * B:(s + 1) * B])
+                    for s in range(spp)]
+                radiance2 = (jnp.stack([p[0] for p in parts]),
+                             jnp.stack([p[1] for p in parts]))
     elif guide_off:
         radiance2 = radiance
     else:
-        radiance2 = update_radiance_state(radiance, final.cache,
-                                          final.state.accucolor, guide_enabled,
-                                          axis_name=guide_axis)
+        if spp == 1:
+            radiance2 = update_radiance_state(radiance, final.cache,
+                                              final.state.accucolor,
+                                              guide_enabled,
+                                              axis_name=guide_axis)
+        else:
+            radiance2 = radiance
+            for s in range(spp):
+                radiance2 = update_radiance_state(
+                    radiance2, _cache_slice(s),
+                    final.state.accucolor[s * B:(s + 1) * B],
+                    guide_enabled, axis_name=guide_axis)
 
     if spp > 1:
         # reduce the sample-major lane blocks back to per-pixel sums
@@ -807,7 +840,13 @@ class Pathtracer:
             rays = rays + rays_b
         self.lum = jnp.concatenate(lum_parts)
         self.alb = jnp.concatenate(alb_parts)
-        self.radiance = guide_propagate(self.radiance, gsum, gcnt, guide)
+        if use_spp > 1:
+            # per-sample sums: the nonlinear EMA runs once per sample
+            for s in range(use_spp):
+                self.radiance = guide_propagate(self.radiance, gsum[s],
+                                                gcnt[s], guide)
+        else:
+            self.radiance = guide_propagate(self.radiance, gsum, gcnt, guide)
         return ridx, rays
 
     def finish(self):

@@ -120,7 +120,15 @@ class ShardedPathtracer(Pathtracer):
             gcnt = jax.lax.psum(gcnt, axis)
             ridx = jax.lax.pmax(ridx, axis)
             rays = jax.lax.psum(rays, axis)
-            radiance2 = guide_propagate(radiance, gsum, gcnt, guide)
+            radiance2 = radiance
+            if use_spp > 1:
+                # per-sample sums: the nonlinear EMA runs once per sample,
+                # matching the single-chip engine and the reference
+                for s in range(use_spp):
+                    radiance2 = guide_propagate(radiance2, gsum[s],
+                                                gcnt[s], guide)
+            else:
+                radiance2 = guide_propagate(radiance, gsum, gcnt, guide)
             return (jnp.stack(lums), jnp.stack(albs), radiance2, ridx, rays)
 
         sharded = jax.shard_map(

@@ -65,3 +65,37 @@ def test_batched_samples_are_decorrelated(pair):
     # fractional parts of lum/first-sample ratios must vary
     nz = lb[lb[:, 0] > 1e-6, 0]
     assert np.unique(np.round(nz, 6)).size > nz.size // 4
+
+
+def test_batched_guiding_ema_per_sample(reference_assets):
+    """The nonlinear guiding EMA must run ONCE PER SAMPLE even in a batched
+    dispatch (pathtracer.h:292-296). Lock: the inline spp=2 update equals
+    sequentially propagating the SAME dispatch's per-sample deferred sums —
+    bitwise. (Before round 4 the batched path applied the EMA once per
+    DISPATCH over combined sums, which diverges multiplicatively.)"""
+    import jax.numpy as jnp
+    from cuda_pathtracer_tpu.models.pathtracer import render_sample
+    from cuda_pathtracer_tpu.models import film
+    from cuda_pathtracer_tpu.models.guiding import (init_radiance_state,
+                                                    propagate)
+    scene = small_scene(reference_assets)
+    arrays, dyn = scene.to_device(), scene.dynamic_arrays()
+    r0 = init_radiance_state(int(arrays.tri_mat.shape[0]))
+    lum, alb = film.clear_accumulators(W * H)
+    wd = -(-scene.wide_depth // 4) * 4
+    kw = dict(nee=True, cache_on=True, max_bounces=4,
+              width=W, height=H, wide_depth=wd, spp=2)
+    _, _, (gsum, gcnt), _, _ = render_sample(
+        arrays, dyn, cam(), r0, lum, alb, jnp.uint32(2), jnp.uint32(9),
+        jnp.asarray(True), defer_guide=True, **kw)
+    assert gsum.shape[0] == 2          # per-sample sums, not combined
+    expect = propagate(propagate(r0, gsum[0], gcnt[0], jnp.asarray(True)),
+                       gsum[1], gcnt[1], jnp.asarray(True))
+    _, _, r2, _, _ = render_sample(
+        arrays, dyn, cam(), r0, lum, alb, jnp.uint32(2), jnp.uint32(9),
+        jnp.asarray(True), defer_guide=False, **kw)
+    got, want = np.asarray(r2.cache), np.asarray(expect.cache)
+    assert (got != want.min()).any()   # guiding actually trained
+    # the inline and deferred paths fuse the bucket sums differently
+    # (ulp-level association); anything beyond that is a wiring bug
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
