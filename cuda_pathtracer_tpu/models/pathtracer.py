@@ -589,13 +589,20 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
     # 100-sample training window shouldn't keep paying the segment-sum.
     n_tris = radiance.cache.shape[0]
 
-    def _cache_slice(s):
-        """One sample's lane block of the (sample-major) SampleCache."""
-        sl = slice(s * B, (s + 1) * B)
-        return SampleCache(stype=final.cache.stype[:, sl],
-                           tri=final.cache.tri[:, sl],
-                           bucket=final.cache.bucket[:, sl],
-                           cum_mask=final.cache.cum_mask[:, sl])
+    def _per_sample_sums():
+        """Per-sample bucket sums from ONE scatter: segment ids offset by
+        sample index (tri + s*n_tris), so the sort+scatter structure and
+        cost match the combined path exactly while the sums come back per
+        sample. (Per-sample accumulate_buckets instances — the obvious
+        form — multiplied the band program's sort/Pallas ops by spp and
+        blew the remote compile past 25 min.)"""
+        from .guiding import accumulate_buckets
+        s_vec = jnp.arange(spp * B, dtype=jnp.int32) // B
+        off = final.cache._replace(
+            tri=final.cache.tri + s_vec[None, :] * n_tris)
+        se, sw = accumulate_buckets(n_tris * spp, off,
+                                    final.state.accucolor)
+        return (se.reshape(spp, n_tris, -1), sw.reshape(spp, n_tris, -1))
 
     # spp > 1: the nonlinear EMA is applied ONCE PER SAMPLE, like the
     # reference's per-sample kernel_propagate_buckets (pathtracer.h:292-296)
@@ -614,12 +621,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                 radiance2 = accumulate_buckets(n_tris, final.cache,
                                                final.state.accucolor)
             else:
-                parts = [accumulate_buckets(
-                    n_tris, _cache_slice(s),
-                    final.state.accucolor[s * B:(s + 1) * B])
-                    for s in range(spp)]
-                radiance2 = (jnp.stack([p[0] for p in parts]),
-                             jnp.stack([p[1] for p in parts]))
+                radiance2 = _per_sample_sums()
     elif guide_off:
         radiance2 = radiance
     else:
@@ -629,12 +631,15 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                                               guide_enabled,
                                               axis_name=guide_axis)
         else:
+            from .guiding import propagate as _propagate
+            se, sw = _per_sample_sums()
+            if guide_axis is not None:
+                se = jax.lax.psum(se, guide_axis)
+                sw = jax.lax.psum(sw, guide_axis)
             radiance2 = radiance
             for s in range(spp):
-                radiance2 = update_radiance_state(
-                    radiance2, _cache_slice(s),
-                    final.state.accucolor[s * B:(s + 1) * B],
-                    guide_enabled, axis_name=guide_axis)
+                radiance2 = _propagate(radiance2, se[s], sw[s],
+                                       guide_enabled)
 
     if spp > 1:
         # reduce the sample-major lane blocks back to per-pixel sums
