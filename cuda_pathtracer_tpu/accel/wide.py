@@ -98,7 +98,9 @@ def _dp_collapse_plan(nodes: BVHNodes, tris_count: np.ndarray,
     """
     N = nodes.vmin.shape[0]
     K = ARITY
-    A = _surface_area(nodes.vmin, nodes.vmax).astype(np.float64)
+    # fp32 throughout: costs are relative SAH estimates, and the [N, 17]
+    # tables are the peak host allocation at 2M tris (~4M binary nodes)
+    A = _surface_area(nodes.vmin, nodes.vmax).astype(np.float32)
     is_leaf = nodes.leaf_count > 0
     left = nodes.left.astype(np.int64)
 
@@ -115,8 +117,8 @@ def _dp_collapse_plan(nodes: BVHNodes, tris_count: np.ndarray,
         order.append(nxt)
         cur = nxt
 
-    INF = np.float64(1e30)
-    C = np.full((N, K + 1), INF)
+    INF = np.float32(1e30)
+    C = np.full((N, K + 1), INF, np.float32)
     whole = np.zeros((N, K + 1), bool)
     kbest = np.zeros((N, K + 1), np.int8)
     kdist = np.zeros(N, np.int8)      # argmin k of the ARITY-way dist
@@ -133,7 +135,7 @@ def _dp_collapse_plan(nodes: BVHNodes, tris_count: np.ndarray,
             continue
         l, r = left[n], left[n] + 1
         Cl, Cr = C[l], C[r]                      # [M, K+1]
-        dist = np.full((n.size, K + 1), INF)
+        dist = np.full((n.size, K + 1), INF, np.float32)
         karg = np.zeros((n.size, K + 1), np.int8)
         for j in range(2, K + 1):
             for k in range(1, j):
@@ -182,6 +184,12 @@ def build_wide_bvh(nodes: BVHNodes, tri_v0: np.ndarray, tri_v1: np.ndarray,
     if fill is None:
         fill = os.environ.get('CPT_WIDE_FILL', 'default')
     collapse = os.environ.get('CPT_COLLAPSE', 'dp')
+    if collapse == 'dp' and fill != 'default':
+        # the DP plan chooses its own partition and never consults a fill
+        # policy; an explicit fill request therefore selects the greedy
+        # collapse (otherwise tools/fill_study.py would silently A/B two
+        # identical trees)
+        collapse = 'greedy'
     n_tris_counts: dict[int, int] = {}
 
     def tri_count(i):

@@ -56,14 +56,26 @@ class ShardedPathtracer(Pathtracer):
         best = self._mesh_band_count(height, n)
         if best is None:
             # pad: smallest height >= requested that the minimum mesh-aligned
-            # band count divides evenly (e.g. H=100 on 8 devices -> 104)
+            # band count divides evenly (e.g. H=100 on 8 devices -> 104).
+            # When the width allows the tile-packet layout, prefer a padded
+            # height whose band_h is a multiple of 8 so tile_order (and with
+            # it the peeled coherent bounce 0) stays on — a few extra pad
+            # rows are cheaper than losing the packet layout.
             b0 = -(-self.bands // n) * n
             padded = -(-height // b0) * b0
+            if width % 16 == 0 and (padded // b0) % 8:
+                aligned = -(-height // (b0 * 8)) * (b0 * 8)
+                # accept up to ~25% extra rows for the aligned layout
+                if aligned - height <= max(8 * b0, height // 4):
+                    padded = aligned
             self.height = padded
             self.lum, self.alb = film.clear_accumulators(width * padded)
             best = self._mesh_band_count(padded, n)
             assert best is not None, (height, padded, n)
         self._set_bands(best)
+        if width % 16 == 0 and not self.tile_order:
+            print(f'mesh: band_h={self.band_h} not tile-aligned; '
+                  f'tile-packet layout disabled for this geometry')
         self._sharded_fns = {}
 
     def _mesh_band_count(self, height: int, n: int):

@@ -103,8 +103,8 @@ def device_op_shares(run, log_dir: str = '/tmp/jax-trace-shares'):
     import glob
     import gzip
     import json
-    import os
-    os.system(f'rm -rf {log_dir}')
+    import shutil
+    shutil.rmtree(log_dir, ignore_errors=True)
     jax.profiler.start_trace(log_dir)
     run()
     jax.profiler.stop_trace()
