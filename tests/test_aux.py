@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cuda_pathtracer_tpu.scene.scene import Scene, Material, GameObject, Plane
@@ -28,6 +29,7 @@ def cam():
     return cam_mod.Camera.create([0, 2, -6], [0, -0.1, 1], 1.5, 6, 0.0)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, reference_assets):
     scene = tiny_scene(reference_assets)
     pt = Pathtracer(scene, W, H)

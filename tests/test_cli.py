@@ -4,8 +4,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_cli_headless_render(tmp_path, reference_assets):
     out = os.path.join(tmp_path, 'cli.png')
     state = os.path.join(tmp_path, 'save.txt')

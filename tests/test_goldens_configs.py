@@ -20,6 +20,8 @@ import pytest
 
 from cuda_pathtracer_tpu.utils.image import rel_mse
 
+pytestmark = pytest.mark.slow  # 5-config golden sweep, ~100 s total
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
 
 

@@ -335,6 +335,7 @@ def test_oracle_nee_visibility(reference_assets, osc):
     assert agree.mean() > 0.995, f'{(~agree).sum()} occlusion diffs'
 
 
+@pytest.mark.slow
 def test_oracle_energy(reference_assets):
     """Engine (NEE on AND off) vs the independent f64 oracle: per-pixel
     relMSE and global energy of two unbiased estimators of the same

@@ -42,6 +42,7 @@ def _rays(n=64 * 48):
         cam, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()), W, H)
 
 
+@pytest.mark.slow
 def test_packet_closest_hit_parity(teapot_scene):
     scene, arrays, dyn, tables = teapot_scene
     ro, rd = _rays()
@@ -159,6 +160,7 @@ def merged_table(teapot_scene):
                                    scene.wide_depth)
 
 
+@pytest.mark.slow
 def test_packet2_closest_hit_parity(teapot_scene, merged_table):
     scene, arrays, dyn, _ = teapot_scene
     ro, rd = _rays()
@@ -225,6 +227,7 @@ def test_merged_table_structure(teapot_scene):
     assert (bases > 0).all() and (bases < len(rows)).all()
 
 
+@pytest.mark.slow
 def test_packet2_hbm_dma_parity(teapot_scene, merged_table):
     """The HBM-resident DMA path (large scenes) must agree with the
     VMEM-resident path exactly: same kernel logic, only the row fetch
@@ -245,6 +248,7 @@ def test_packet2_hbm_dma_parity(teapot_scene, merged_table):
                                   np.asarray(h1.prim_id))
 
 
+@pytest.mark.slow
 def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
     """The hybrid VMEM-top/HBM-DMA path (split > 0) must agree with the
     VMEM-resident path exactly, for splits that land both fetch paths on
@@ -269,6 +273,7 @@ def test_packet2_hybrid_split_parity(teapot_scene, merged_table):
                                       np.asarray(h1.prim_id), err_msg=f'split={split}')
 
 
+@pytest.mark.slow
 def test_packet2_batched_parity(teapot_scene, merged_table):
     """The batched shared-reduce variant (CPT_V2B) computes the same
     hitmask/meta decisions as the sequential path, so outputs must be
@@ -351,6 +356,7 @@ def test_packet2_share_tmax_active(teapot_scene, merged_table):
                                   np.asarray(h1.t)[both])
 
 
+@pytest.mark.slow
 def test_packet2_share_hbm_parity(teapot_scene, merged_table):
     """share-8 over the HBM-DMA path (large scenes) must be BIT-identical to
     share-8 over the VMEM-resident table: the software pipeline only delays
@@ -386,3 +392,43 @@ def test_packet2_share_hbm_any_hit(teapot_scene, merged_table):
                                share=8, any_hit=True, hbm=True, split=8)
     np.testing.assert_array_equal(np.asarray(h0.intersected),
                                   np.asarray(h1.intersected))
+
+
+def test_packet2_want_uv_matches_reintersect(teapot_scene, merged_table):
+    """Kernel-emitted barycentrics == the shade-side re-intersection they
+    replace (src/kernels.h:585-619): same Möller arithmetic on the same f32
+    inputs, selected for the SAME winning triangle the t/gid update chose.
+    Covers share-K and sequential step modes."""
+    from cuda_pathtracer_tpu.ops import intersect as isect
+    scene, arrays, dyn, _ = teapot_scene
+    ro, rd = _rays()
+    tm = np.asarray(dyn.tri_meta)
+    for share in (8, 0):
+        h = tpk2.traverse_packet2(arrays, merged_table, ro, rd,
+                                  interpret=True, share=share, want_uv=True)
+        assert h.u is not None and h.v is not None
+        tri = np.asarray(h.intersected) & (np.asarray(h.prim_id) >= 0)
+        pid = np.asarray(h.prim_id)[tri]
+        v0 = jnp.asarray(tm[pid, 2:5])
+        v1 = jnp.asarray(tm[pid, 5:8])
+        v2 = jnp.asarray(tm[pid, 8:11])
+        _, _, tu, tv = isect.ray_triangle(ro[tri], rd[tri], v0, v1, v2)
+        # tolerance: the kernel expands the Möller dot/cross products as
+        # explicit scalar FMAs while isect.ray_triangle uses vector forms —
+        # different f32 summation order. On small-determinant (grazing)
+        # hits the 1/det amplifies last-ulp differences to ~5e-6 absolute
+        # (measured: 6/497 teapot lanes beyond 2e-6). Far below a texel of
+        # UV error; everything else matches to float noise.
+        np.testing.assert_allclose(np.asarray(h.u)[tri], np.asarray(tu),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f'share={share}')
+        np.testing.assert_allclose(np.asarray(h.v)[tri], np.asarray(tv),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f'share={share}')
+        tight = np.isclose(np.asarray(h.u)[tri], np.asarray(tu),
+                           rtol=2e-5, atol=2e-6)
+        assert tight.mean() > 0.95, f'share={share}: {tight.mean():.3f}'
+        # valid barycentric range on every triangle hit
+        assert (np.asarray(h.u)[tri] >= 0).all()
+        assert (np.asarray(h.v)[tri] >= 0).all()
+        assert (np.asarray(h.u)[tri] + np.asarray(h.v)[tri] <= 1 + 1e-5).all()

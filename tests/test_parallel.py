@@ -41,6 +41,7 @@ def cam():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+@pytest.mark.slow
 def test_sharded_matches_single_chip_bitwise(reference_assets):
     scene = scene_for(reference_assets)
 
@@ -97,6 +98,7 @@ def test_sharded_runs_on_two_devices(reference_assets):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+@pytest.mark.slow
 def test_sharded_awkward_height_pads(reference_assets):
     """A height with no mesh-aligned band count (H=100 on 8 devices) must
     render via internal padding, not assert — and the visible image must

@@ -1,5 +1,6 @@
 """Whitted raytracer mode tests."""
 import numpy as np
+import pytest
 
 from cuda_pathtracer_tpu.scene.builder import get_outside_scene
 from cuda_pathtracer_tpu.scene.scene import Scene, Material, GameObject, Plane, PointLight
@@ -32,6 +33,7 @@ def test_whitted_sky_and_shadows(reference_assets):
     assert frame.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_whitted_interactive_vs_converged_depth(reference_assets):
     scene = get_outside_scene(asset_dirs=[reference_assets])
     cam = cam_mod.Camera.create([0, 2, -14], [0, 0, 1], 1.5, 6, 0.0)

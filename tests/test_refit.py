@@ -84,6 +84,7 @@ def test_refit_render_parity(reference_assets):
     assert close.mean() > 0.995
 
 
+@pytest.mark.slow
 def test_refit_is_cheap(reference_assets):
     """Host-side work per refit must be orders below the full rebuild."""
     scene = get_scene('sibenik', asset_dirs=[reference_assets, '.'])

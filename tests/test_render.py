@@ -79,6 +79,7 @@ def test_energy_stable_across_samples(reference_assets):
     assert abs(e1 - e2) / e2 < 0.5  # noisy but same order
 
 
+@pytest.mark.slow
 def test_nee_toggle_converges_similarly(reference_assets):
     """NEE on/off must estimate the same integral (README.md:296-311 is the
     reference's visual A/B); statistically loose with few samples."""

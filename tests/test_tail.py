@@ -47,6 +47,7 @@ def _render(reference_assets, samples=3):
     return np.asarray(pt.lum), np.asarray(pt.alb)
 
 
+@pytest.mark.slow
 def test_tail_matches_full_width(reference_assets, monkeypatch):
     lum_full, alb_full = _render(reference_assets)
     # force the tail path on for this tiny frame. TAIL_DIV=1 keeps the

@@ -120,6 +120,7 @@ def test_textured_render_modulates_albedo(tmp_path, reference_assets):
     assert strip.max() > 1.5 * max(strip.min(), 1e-3)
 
 
+@pytest.mark.slow
 def test_normal_map_changes_shading(tmp_path, reference_assets):
     pt_n, _ = _render_quad(tmp_path, reference_assets, with_normal=True)
     pt_p, _ = _render_quad(tmp_path, reference_assets, with_normal=False)

@@ -68,6 +68,7 @@ def _converged(reference_assets, *, nee, cache):
     return img
 
 
+@pytest.mark.slow
 def test_nee_on_off_converge_to_same_mean(reference_assets):
     on = _converged(reference_assets, nee=True, cache=False)
     off = _converged(reference_assets, nee=False, cache=False)
@@ -76,6 +77,7 @@ def test_nee_on_off_converge_to_same_mean(reference_assets):
                         f'{off.mean()} (rel {rel:.4f})'
 
 
+@pytest.mark.slow
 def test_guided_unguided_converge_to_same_mean(reference_assets,
                                                monkeypatch):
     # shrink the 100-sample training window so guiding actually steers
