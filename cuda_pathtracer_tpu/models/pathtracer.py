@@ -45,6 +45,11 @@ TAIL2_START = int(_os.environ.get('CPT_TAIL2_START', '8'))
 TAIL2_DIV = int(_os.environ.get('CPT_TAIL2_DIV', '32'))
 TAIL_MIN_LANES = 131072
 
+# barycentrics from the traversal kernel's leaf pass (drops the shade-side
+# re-intersect + its 9-column vert gather); off switches shade back to the
+# reference-style re-intersection (src/kernels.h:585-619) for A/B
+WANT_UV = _os.environ.get('CPT_WANT_UV', '1') != '0'
+
 # the reference trains the radiance cache for the first 100 converge samples
 # (HCACHE && converge && sampleIndex < 100, src/pathtracer.h:292); module
 # constant so unbiasedness tests can shrink the window
@@ -287,7 +292,7 @@ def render_sample(scene, dyn, camera, radiance: RadianceState,
                  if (do_sort and sort_now) else None)
         hit = trace(scene, dyn, c.ro, c.rd, active=c.alive,
                     wide_depth=wide_depth, order=order,
-                    coherent=not sort_now)
+                    coherent=not sort_now, want_uv=WANT_UV)
 
         out = shade(scene, dyn, c.ro, c.rd, hit, c.state, c.alive,
                     xs_l, ys_l, c.rand_idx + soff_l, samp_l, c.bounce,

@@ -159,23 +159,42 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # Build the swapped staged concat from ONLY the columns this program
     # reads: every MB of the derived table competes for MSA's VMEM budget,
     # and when it loses the gather runs from HBM at ~3x the price
-    # (tools/interactive_profile.py). cache_on reads just gid|inst|verts
-    # (attrs ride tri_guide below); cache_off needs the baked attrs too,
-    # minus tangent/bitangent when the scene has no normal maps. The two
-    # concat parts must be a genuine SWAP (a single slice would be folded
-    # back into the HBM parameter by the algebraic simplifier).
+    # (tools/interactive_profile.py). cache_on reads just gid|inst (attrs
+    # ride tri_guide below); cache_off needs the baked attrs too, minus
+    # tangent/bitangent when the scene has no normal maps. When the
+    # traversal emitted barycentrics (hit.u, the packet2 path) the 9
+    # world-vert columns drop out entirely — no re-intersect. The concat
+    # pieces must form a genuine SWAP (a single slice from col 0 would be
+    # folded back into the HBM parameter by the algebraic simplifier).
     has_nmap = int(scene.nmap_marker.shape[0]) > 0
+    have_uv = hit.u is not None
+    verts = [] if have_uv else list(range(2, 11))
     if cache_on:
-        cols = list(range(6, 11)) + list(range(0, 6))          # old 0..10
+        want = [0, 1] + verts
     elif has_nmap:
-        cols = list(range(16, 27)) + list(range(0, 16))        # old 0..26
+        want = [0, 1] + verts + list(range(11, 27))
     else:
         # drop tangent/bitangent (old 14:20) and the pad
-        cols = list(range(20, 27)) + list(range(0, 14))
+        want = [0, 1] + verts + list(range(11, 14)) + list(range(20, 27))
+    # contiguous pieces of `want`, rotated so the first piece doesn't start
+    # at column 0 (the swap requirement above)
+    want = sorted(want)
+    pieces, start = [], want[0]
+    for a, b in zip(want, want[1:] + [None]):
+        if b != a + 1:
+            pieces.append((start, a + 1))
+            start = b
+    if len(pieces) > 1:
+        pieces = pieces[1:] + pieces[:1]
+    elif pieces[0][0] == 0:
+        # single contiguous run from col 0: split and swap the halves so the
+        # simplifier can't fold the concat back into the raw parameter
+        a, b = pieces[0]
+        mid = a + (b - a + 1) // 2
+        pieces = [(mid, b), (a, mid)]
+    cols = [c for (a, b) in pieces for c in range(a, b)]
     _pos = {c: i for i, c in enumerate(cols)}
-    split_at = cols.index(0)
-    tm_tab = jnp.concatenate([tm[:, cols[0]:cols[split_at - 1] + 1],
-                              tm[:, 0:cols[-1] + 1]], axis=1)
+    tm_tab = jnp.concatenate([tm[:, a:b] for a, b in pieces], axis=1)
     tri_meta = tm_tab[pid]                 # f32[B, len(cols)]
     # SCALAR column picks only (block slices push XLA to the slow
     # row-major gather emitter, tools/gather_layout_probe.py)
@@ -282,17 +301,24 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
                             jnp.full(3, 0.2, jnp.float32))
         diffuse = jnp.where(f3(is_plane), checker, diffuse)
 
-    # ---- texturing by barycentric re-intersection (kernels.h:585-619) ----
+    # ---- texturing barycentrics (kernels.h:585-619) ----
     has_tex = is_tri & (tex_id >= 0)
     has_nmap = is_tri & (ntex_id >= 0)
     needs_uv = has_tex | has_nmap
-    # world verts (same values as world.tris), rebuilt from SCALAR column
-    # slices: block slices ([..., 2:11]) push XLA to a row-major {1,0}
-    # gather emitter that costs ~20 ms/bounce; scalar-column consumers keep
-    # the ~5 ms column-major form (tools/gather_layout_probe.py)
-    tri9 = jnp.stack([mcol(j) for j in range(2, 11)], axis=-1)
-    _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3], tri9[..., 3:6],
-                                      tri9[..., 6:9])
+    if have_uv:
+        # the traversal kernel emitted the winning triangle's Möller (u, v)
+        # from its leaf pass (same arithmetic on the same f32 inputs as the
+        # re-intersect below) — no vert gather, no re-intersection
+        tu, tv = hit.u, hit.v
+    else:
+        # world verts (same values as world.tris), rebuilt from SCALAR
+        # column slices: block slices ([..., 2:11]) push XLA to a row-major
+        # {1,0} gather emitter that costs ~20 ms/bounce; scalar-column
+        # consumers keep the ~5 ms column-major form
+        # (tools/gather_layout_probe.py)
+        tri9 = jnp.stack([mcol(j) for j in range(2, 11)], axis=-1)
+        _, _, tu, tv = isect.ray_triangle(ro, rd, tri9[..., 0:3],
+                                          tri9[..., 3:6], tri9[..., 6:9])
     w0 = 1.0 - tu - tv
     uv_u = uvs[..., 0] * w0 + uvs[..., 2] * tu + uvs[..., 4] * tv
     uv_v = uvs[..., 1] * w0 + uvs[..., 3] * tu + uvs[..., 5] * tv

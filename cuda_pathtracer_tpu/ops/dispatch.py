@@ -69,12 +69,15 @@ def use_sorted_packets(dyn) -> bool:
 
 def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
           any_hit: bool = False, stop_on_hit=None, wide_depth: int = 0,
-          order=None, coherent: bool = False) -> Hit:
+          order=None, coherent: bool = False, want_uv: bool = False) -> Hit:
     """`order` (optional i32[B] permutation) pre-sorts rays for packet
     coherence; results come back in the caller's original ray order.
     `coherent` hints that the wavefront is tile/camera-coherent — today it
     only routes the CPT_COHERENT_SHARE override (measured: share-8 is best
-    there too; see SORTED_SHARE note above)."""
+    there too; see SORTED_SHARE note above).
+    `want_uv` asks for the winning triangle's barycentrics in Hit.u/Hit.v;
+    only the packet2 path produces them (other tiers return None and
+    shade() falls back to the re-intersect, src/kernels.h:585-619)."""
     interp = jax.default_backend() == 'cpu'
     if wide_depth > 0 and use_packet2(dyn) and (
             PACKET_MODE == 'on' or not interp):
@@ -89,7 +92,8 @@ def trace(scene, dyn, ro, rd, *, t_max=None, active=None,
             stop_on_hit=stop_on_hit, order=order, interpret=interp,
             hbm=hbm, split=(HYBRID_TOP_ROWS & ~7) if hbm else 0,
             share=(int(COHERENT_SHARE) if (coherent and COHERENT_SHARE)
-                   else (None if hbm else SORTED_SHARE)))
+                   else (None if hbm else SORTED_SHARE)),
+            want_uv=want_uv and not any_hit)
     if wide_depth > 0 and use_packet_path(dyn):
         tables = PacketTables(dyn.packet_inner, dyn.packet_leaf, wide_depth)
         return traverse_packet(scene, tables, ro, rd, t_max=t_max,

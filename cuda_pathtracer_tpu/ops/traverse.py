@@ -57,6 +57,16 @@ class Hit(NamedTuple):
     prim_type: jnp.ndarray  # i32[B] (valid only when hit)
     prim_id: jnp.ndarray    # i32[B] world-triangle index / sphere index / plane index
     intersected: jnp.ndarray  # bool[B]
+    # barycentric (u, v) of the winning triangle, emitted by the traversal
+    # when the caller asks for them (trace(want_uv=True) on the packet path).
+    # None on paths that don't produce them — shade() then recovers the
+    # barycentrics by re-intersecting, like the reference's texturing path
+    # does unconditionally (src/kernels.h:585-619, whose HitInfo carries no
+    # barycentrics). Emitting them from the kernel's leaf pass (where the
+    # Möller u/v are already computed against the VMEM-resident triangles)
+    # lets shade drop the 9 world-vert columns from its per-bounce gather.
+    u: jnp.ndarray | None = None  # f32[B]
+    v: jnp.ndarray | None = None  # f32[B]
 
 
 def _leaf_intersect(world: WorldArrays, ro, rd, leaf_start, leaf_count, t_best):

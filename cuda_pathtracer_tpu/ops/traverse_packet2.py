@@ -282,7 +282,7 @@ SHARE_HBM = int(__import__('os').environ.get('CPT_SHARE_HBM', '1'))
 
 
 def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
-            batched: bool = False, share: int = 0):
+            batched: bool = False, share: int = 0, want_uv: bool = False):
     """hbm=False: the whole merged table is VMEM-resident, rows sliced
     directly. hbm=True: the table stays in HBM (scenes beyond the VMEM cap,
     e.g. the 2M-triangle stress scene) and each packet's next row is DMA'd
@@ -302,17 +302,19 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
     always-on slab blocks. Bit-exact vs the sequential path."""
     S = d + 3
 
+    OUT = 5 if want_uv else 4
+
     def kernel(tab_ref, *rest):
         if hbm and split > 0:
             (top_ref, rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
-             dec_s, row_s, sem) = rest
+             uv_s, dec_s, row_s, sem) = rest
         elif hbm:
             (rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
-             dec_s, row_s, sem) = rest
+             uv_s, dec_s, row_s, sem) = rest
             top_ref = None
         else:
             (rays_ref, t_out, stk_b, stk_m, t_s, gid_s, fnd_s,
-             dec_s) = rest
+             uv_s, dec_s) = rest
             top_ref = row_s = sem = None
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
         bits16 = (1 << iota16)
@@ -417,6 +419,17 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
             fnd_s[p:p + 1, :] = ((fnd_s[p:p + 1, :] != 0)
                                  | take).astype(jnp.int32)
+            if want_uv:
+                # barycentrics of the SAME winner the t/gid update chose
+                # (ties at exact t resolve to the lowest gid, and duplicate
+                # (t, gid) rows are the same triangle, so the min-select is
+                # unambiguous)
+                win = okm & (ttm == leaf_t) & (gids == leaf_gid)
+                u_new = jnp.min(jnp.where(win, u, BIG), axis=0, keepdims=True)
+                v_new = jnp.min(jnp.where(win, vv, BIG), axis=0, keepdims=True)
+                uv_s[p:p + 1, :] = jnp.where(take, u_new, uv_s[p:p + 1, :])
+                uv_s[npk + p:npk + p + 1, :] = jnp.where(
+                    take, v_new, uv_s[npk + p:npk + p + 1, :])
 
         def inner_chit(rf, p, row):
             """chit (16,128) + transposed row as VALUES (no reduction)."""
@@ -589,6 +602,8 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                 t_s[p:p + 1, :] = rays[b + 9:b + 10]
             gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
             fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+            if want_uv:
+                uv_s[:, :] = jnp.zeros((2 * npk, PACKET), jnp.float32)
             starts = []
             for p in range(npk):
                 b = (base + p) * RAY_ROWS
@@ -610,12 +625,17 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                 for p in range(npk):
                     wait_fetch(p)
             for p in range(npk):
-                o = 4 * (base + p)
+                o = OUT * (base + p)
                 t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
                 t_out[o + 1:o + 2, :] = jax.lax.bitcast_convert_type(
                     gid_s[p:p + 1, :], jnp.float32)
                 t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
-                t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
+                if want_uv:
+                    t_out[o + 3:o + 4, :] = uv_s[p:p + 1, :]
+                    t_out[o + 4:o + 5, :] = uv_s[npk + p:npk + p + 1, :]
+                else:
+                    t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET),
+                                                      jnp.float32)
 
         # ---- share-K batched steps (CPT_SHARE) -------------------------
         # kernel_lab3 measured the (16,128) slab ops as ISSUE-bound (2
@@ -835,6 +855,13 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
             gid_s[p:p + 1, :] = jnp.where(take, leaf_gid, best)
             fnd_s[p:p + 1, :] = ((fnd_s[p:p + 1, :] != 0)
                                  | take).astype(jnp.int32)
+            if want_uv:
+                win = okm & (ttm == leaf_t) & (gids == leaf_gid)
+                u_new = jnp.min(jnp.where(win, u, BIG), axis=0, keepdims=True)
+                v_new = jnp.min(jnp.where(win, vv, BIG), axis=0, keepdims=True)
+                uv_s[p:p + 1, :] = jnp.where(take, u_new, uv_s[p:p + 1, :])
+                uv_s[npk + p:npk + p + 1, :] = jnp.where(
+                    take, v_new, uv_s[npk + p:npk + p + 1, :])
 
         def push_share(p, gate, vals, spi, spl, cnt):
             """Split each fresh hitmask into typed entries (slot space,
@@ -969,6 +996,8 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                 t_s[p:p + 1, :] = rays[b + 9:b + 10]
             gid_s[:, :] = jnp.full((npk, PACKET), -1, jnp.int32)
             fnd_s[:, :] = jnp.zeros((npk, PACKET), jnp.int32)
+            if want_uv:
+                uv_s[:, :] = jnp.zeros((2 * npk, PACKET), jnp.float32)
             init = []
             for p in range(npk):
                 b = (base + p) * RAY_ROWS
@@ -993,12 +1022,17 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
                                      body_h if hbm else body, tuple(init))
             del fin
             for p in range(npk):
-                o = 4 * (base + p)
+                o = OUT * (base + p)
                 t_out[o + 0:o + 1, :] = t_s[p:p + 1, :]
                 t_out[o + 1:o + 2, :] = jax.lax.bitcast_convert_type(
                     gid_s[p:p + 1, :], jnp.float32)
                 t_out[o + 2:o + 3, :] = fnd_s[p:p + 1, :].astype(jnp.float32)
-                t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET), jnp.float32)
+                if want_uv:
+                    t_out[o + 3:o + 4, :] = uv_s[p:p + 1, :]
+                    t_out[o + 4:o + 5, :] = uv_s[npk + p:npk + p + 1, :]
+                else:
+                    t_out[o + 3:o + 4, :] = jnp.zeros((1, PACKET),
+                                                      jnp.float32)
 
         for c in range(ppc):
             if share:
@@ -1009,27 +1043,30 @@ def _kernel(npk: int, d: int, ppc: int, hbm: bool = False, split: int = 0,
 
 
 @partial(jax.jit, static_argnames=('depth', 'interpret', 'hbm', 'split',
-                                   'batched', 'share'))
+                                   'batched', 'share', 'want_uv'))
 def _run_packets2(tab, rays, *, depth: int, interpret: bool,
                   hbm: bool = False, split: int = 0,
-                  batched: bool = False, share: int = 0):
+                  batched: bool = False, share: int = 0,
+                  want_uv: bool = False):
     gn = rays.shape[0] // (PPC * NPK * RAY_ROWS)
     d = depth + 2
     S = d + 3
+    OUT = 5 if want_uv else 4
     rayspec = pl.BlockSpec((PPC * NPK * RAY_ROWS, PACKET), lambda g: (g, 0),
                            memory_space=pltpu.VMEM)
-    outspec = pl.BlockSpec((PPC * NPK * 4, PACKET), lambda g: (g, 0),
+    outspec = pl.BlockSpec((PPC * NPK * OUT, PACKET), lambda g: (g, 0),
                            memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec(
         memory_space=pltpu.ANY if hbm else pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * 4, PACKET),
+    out_shape = jax.ShapeDtypeStruct((gn * PPC * NPK * OUT, PACKET),
                                      jnp.float32)
+    uv_scratch = [pltpu.VMEM((2 * NPK, PACKET), jnp.float32)]
     if share:
         scratch = [pltpu.SMEM((NPK, 8 * S), jnp.int32),
                    pltpu.SMEM((NPK, 8 * S), jnp.int32),
                    pltpu.VMEM((NPK, PACKET), jnp.float32),
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
-                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32)] + uv_scratch + [
                    pltpu.SMEM((NPK, 3 * share), jnp.int32)]
         if hbm:
             # one row slot + DMA semaphore per (packet, batch slot)
@@ -1040,7 +1077,7 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
                    pltpu.SMEM((NPK, S + 1), jnp.int32),
                    pltpu.VMEM((NPK, PACKET), jnp.float32),
                    pltpu.VMEM((NPK, PACKET), jnp.int32),
-                   pltpu.VMEM((NPK, PACKET), jnp.int32),
+                   pltpu.VMEM((NPK, PACKET), jnp.int32)] + uv_scratch + [
                    pltpu.SMEM((NPK, 2), jnp.int32)]
         if hbm:
             scratch += [pltpu.VMEM((NPK, 128), jnp.float32),
@@ -1053,7 +1090,7 @@ def _run_packets2(tab, rays, *, depth: int, interpret: bool,
         in_specs = [tabspec, pl.BlockSpec(memory_space=pltpu.VMEM), rayspec]
         operands = [tab, tab[:split], rays]
     return pl.pallas_call(
-        _kernel(NPK, d, PPC, hbm, split, batched, share),
+        _kernel(NPK, d, PPC, hbm, split, batched, share, want_uv),
         grid=(gn,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -1070,7 +1107,8 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
                      order=None, interpret: bool = False,
                      hbm: bool = False, split: int = 0,
                      batched: bool | None = None,
-                     share: int | None = None) -> Hit:
+                     share: int | None = None,
+                     want_uv: bool = False) -> Hit:
     """Contract-compatible with traverse_packet (same Hit, same prepass).
     hbm=True keeps the node table HBM-resident with per-visit DMA — the
     large-scene path; split>0 additionally keeps the top `split` BFS rows
@@ -1106,12 +1144,13 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
         share = SHARE
         if hbm and not SHARE_HBM:
             share = 0
+    OUT = 5 if want_uv else 4
     outk = _run_packets2(table.rows, rays, depth=table.depth,
                          interpret=interpret, hbm=hbm, split=split,
                          batched=V2B if batched is None else batched,
-                         share=share)
-    outk = outk.reshape(-1, 4, PACKET)
-    O = jnp.swapaxes(outk, -1, -2).reshape(-1, 4)[:B]
+                         share=share, want_uv=want_uv)
+    outk = outk.reshape(-1, OUT, PACKET)
+    O = jnp.swapaxes(outk, -1, -2).reshape(-1, OUT)[:B]
     if order is not None:
         O = O[jnp.argsort(order)]
     tk = O[:, 0]
@@ -1120,4 +1159,11 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     ptype = jnp.where(hitk, PRIM_TRIANGLE, ptype0)
     pid = jnp.where(hitk, gidk, pid0)
     intersected = active & (hitk | found0)
-    return Hit(t=tk, prim_type=ptype, prim_id=pid, intersected=intersected)
+    uk = vk = None
+    if want_uv:
+        # valid only where the kernel found the triangle hit (analytic
+        # prepass hits keep prim_type != TRIANGLE and never consume them)
+        uk = jnp.where(hitk, O[:, 3], 0.0)
+        vk = jnp.where(hitk, O[:, 4], 0.0)
+    return Hit(t=tk, prim_type=ptype, prim_id=pid, intersected=intersected,
+               u=uk, v=vk)
