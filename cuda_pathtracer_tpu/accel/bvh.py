@@ -160,8 +160,21 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHNodes:
 
 
 def build_bvh(v0, v1, v2) -> BVHNodes:
-    """Build a BVH, preferring the native C++ builder when available."""
+    """Build a BVH, preferring the native C++ builder when available.
+
+    CPT_SBVH=1 opts into the spatial-split quality build (native only —
+    `perm` then holds >= T refs with duplicates; scene.py stores the
+    duplicated rows and masks them out of the light list). CPT_SBVH_ALPHA
+    tunes the overlap gate (default 1e-5 of root area)."""
+    import os
     from . import native
     if native.available():
+        if os.environ.get('CPT_SBVH', '0') == '1':
+            alpha = float(os.environ.get('CPT_SBVH_ALPHA', '1e-5'))
+            dup = float(os.environ.get('CPT_SBVH_DUP', '1.4'))
+            nodes = native.build_bvh_sbvh_native(v0, v1, v2, alpha=alpha,
+                                                 dup_factor=dup)
+            if nodes is not None:
+                return nodes
         return native.build_bvh_native(v0, v1, v2)
     return build_bvh_numpy(v0, v1, v2)

@@ -50,6 +50,23 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),   # out leaf_count
         ctypes.POINTER(ctypes.c_int32),   # out perm [n]
     ]
+    if hasattr(lib, 'build_bvh_sbvh'):
+        lib.build_bvh_sbvh.restype = ctypes.c_int64
+        lib.build_bvh_sbvh.argtypes = [
+            ctypes.c_int64,                   # n triangles
+            ctypes.POINTER(ctypes.c_float),   # v0 [n,3]
+            ctypes.POINTER(ctypes.c_float),   # v1
+            ctypes.POINTER(ctypes.c_float),   # v2
+            ctypes.c_float,                   # alpha (overlap gate)
+            ctypes.c_int64,                   # max_refs
+            ctypes.POINTER(ctypes.c_float),   # out vmin [2*max_refs-1,3]
+            ctypes.POINTER(ctypes.c_float),   # out vmax
+            ctypes.POINTER(ctypes.c_int32),   # out left
+            ctypes.POINTER(ctypes.c_int32),   # out leaf_start
+            ctypes.POINTER(ctypes.c_int32),   # out leaf_count
+            ctypes.POINTER(ctypes.c_int32),   # out perm [max_refs]
+            ctypes.POINTER(ctypes.c_int64),   # out n_refs
+        ]
     _LIB = lib
     return lib
 
@@ -86,3 +103,48 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     c = int(count)
     return BVHNodes(vmin[:c], vmax[:c], left[:c],
                     leaf_start[:c], leaf_count[:c], perm)
+
+
+def build_bvh_sbvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                          alpha: float = 1e-5,
+                          dup_factor: float = 1.4):
+    """Spatial-split BVH (SBVH, Stich 2009) via the native builder. The
+    returned `perm` has n_refs >= n entries — a straddling triangle may be
+    referenced from several leaves with clipped bounds. Quality mode:
+    ~15-30% fewer traversal visits on architectural scenes at the cost of a
+    slower, single-threaded build. Returns None when the native library
+    lacks the entry point (stale .so) so callers can fall back."""
+    from .bvh import BVHNodes
+    lib = _load()
+    if lib is None or not hasattr(lib, 'build_bvh_sbvh'):
+        return None
+    n = len(v0)
+    max_refs = max(int(n * dup_factor) + 16, n)
+    max_nodes = 2 * max_refs - 1
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    vmin = np.empty((max_nodes, 3), np.float32)
+    vmax = np.empty((max_nodes, 3), np.float32)
+    left = np.empty(max_nodes, np.int32)
+    leaf_start = np.empty(max_nodes, np.int32)
+    leaf_count = np.empty(max_nodes, np.int32)
+    perm = np.empty(max_refs, np.int32)
+    nrefs = ctypes.c_int64(0)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    count = lib.build_bvh_sbvh(
+        n,
+        v0.ctypes.data_as(fp), v1.ctypes.data_as(fp), v2.ctypes.data_as(fp),
+        ctypes.c_float(alpha), max_refs,
+        vmin.ctypes.data_as(fp), vmax.ctypes.data_as(fp),
+        left.ctypes.data_as(ip),
+        leaf_start.ctypes.data_as(ip), leaf_count.ctypes.data_as(ip),
+        perm.ctypes.data_as(ip), ctypes.byref(nrefs))
+    c = int(count)
+    if c <= 0:
+        return None
+    return BVHNodes(vmin[:c].copy(), vmax[:c].copy(), left[:c].copy(),
+                    leaf_start[:c].copy(), leaf_count[:c].copy(),
+                    perm[:int(nrefs.value)].copy())

@@ -506,3 +506,416 @@ extern "C" int64_t build_bvh_binned(
     std::free(bin_pos);
     return node_count.load();
 }
+
+// ---------------------------------------------------------------------------
+// SBVH: binned SAH with SPATIAL splits (Stich et al. 2009, "Spatial Splits
+// in Bounding Volume Hierarchies"). Quality mode for render-heavy runs: a
+// triangle that straddles a split plane can be REFERENCED from both sides
+// with its box clipped to each side, removing the child-box overlap that an
+// object-only partition is forced into on architectural scenes. References
+// may therefore be duplicated: `out_perm` holds n_refs >= n entries and the
+// same source triangle id may appear in several leaves. Opt-in
+// (CPT_SBVH=1 via accel/native.py); the default binned builder above stays
+// the build-throughput path. Single-threaded — quality over build speed.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SRef {
+    int32_t tri;    // ORIGINAL triangle index
+    Box box;        // current (possibly ancestor-clipped) bounds
+};
+
+// Clip the triangle polygon (a,b,c) to the slab lo <= x[axis] <= hi
+// (Sutherland-Hodgman, one axis, two half-space passes) and return the
+// clipped polygon's AABB. Empty overlap returns an insideOut box.
+inline Box clip_tri_slab(const float* a, const float* b, const float* c,
+                         int axis, float lo, float hi) {
+    float poly[8][3], next[8][3];
+    int np_ = 3;
+    for (int j = 0; j < 3; j++) {
+        poly[0][j] = a[j];
+        poly[1][j] = b[j];
+        poly[2][j] = c[j];
+    }
+    // pass 0: keep x >= lo; pass 1: keep x <= hi
+    for (int pass = 0; pass < 2; pass++) {
+        const float plane = pass == 0 ? lo : hi;
+        const float sgn = pass == 0 ? 1.0f : -1.0f;
+        int nn = 0;
+        for (int i = 0; i < np_; i++) {
+            const float* p = poly[i];
+            const float* q = poly[(i + 1) % np_];
+            const float dp = sgn * (p[axis] - plane);
+            const float dq = sgn * (q[axis] - plane);
+            if (dp >= 0.0f) {
+                for (int j = 0; j < 3; j++) next[nn][j] = p[j];
+                nn++;
+            }
+            if ((dp >= 0.0f) != (dq >= 0.0f)) {
+                const float t = dp / (dp - dq);
+                for (int j = 0; j < 3; j++)
+                    next[nn][j] = p[j] + t * (q[j] - p[j]);
+                nn++;
+            }
+        }
+        np_ = nn;
+        std::memcpy(poly, next, sizeof(float) * 3 * (size_t)nn);
+        if (np_ == 0) return Box::insideOut();
+    }
+    Box out = Box::insideOut();
+    for (int i = 0; i < np_; i++) {
+        F4 p = {{poly[i][0], poly[i][1], poly[i][2], 0.0f}};
+        F4 pl = p, ph = p;
+        pl.v[3] = INF;
+        ph.v[3] = -INF;
+        out.lo.mins(pl);
+        out.hi.maxs(ph);
+    }
+    return out;
+}
+
+inline Box box_intersect(const Box& x, const Box& y) {
+    Box r = x;
+    r.lo.maxs(y.lo);
+    r.hi.mins(y.hi);
+    return r;
+}
+
+inline bool box_empty(const Box& b) {
+    return b.lo.v[0] > b.hi.v[0] || b.lo.v[1] > b.hi.v[1]
+        || b.lo.v[2] > b.hi.v[2];
+}
+
+}  // namespace
+
+extern "C" int64_t build_bvh_sbvh(
+    int64_t n,
+    const float* v0, const float* v1, const float* v2,
+    float alpha,            // spatial-split gate: overlap_area/root_area
+    int64_t max_refs,       // capacity of out_perm (>= n)
+    float* out_vmin, float* out_vmax,
+    int32_t* out_left, int32_t* out_leaf_start, int32_t* out_leaf_count,
+    int32_t* out_perm,
+    int64_t* out_nrefs) {
+    if (n <= 0 || max_refs < n) return 0;
+    const int64_t max_nodes = 2 * max_refs - 1;
+
+    std::vector<SRef> root_refs((size_t)n);
+    Box root = Box::insideOut();
+    for (int64_t i = 0; i < n; i++) {
+        Box b = Box::insideOut();
+        F4 pa = {{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2], 0}};
+        F4 pb = {{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2], 0}};
+        F4 pc = {{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2], 0}};
+        F4 lo = pa, hi = pa;
+        lo.mins(pb); lo.mins(pc); lo.v[3] = INF;
+        hi.maxs(pb); hi.maxs(pc); hi.v[3] = -INF;
+        b.lo = lo;
+        b.hi = hi;
+        root_refs[(size_t)i] = {(int32_t)i, b};
+        root.grow(b);
+    }
+    const double root_area = std::max((double)root.area(), 1e-30);
+    // remaining duplication budget (each spatial straddle costs one ref)
+    int64_t budget = max_refs - n;
+
+    auto set_box = [&](int64_t idx, const Box& b) {
+        out_vmin[3 * idx] = b.lo.v[0];
+        out_vmin[3 * idx + 1] = b.lo.v[1];
+        out_vmin[3 * idx + 2] = b.lo.v[2];
+        out_vmax[3 * idx] = b.hi.v[0];
+        out_vmax[3 * idx + 1] = b.hi.v[1];
+        out_vmax[3 * idx + 2] = b.hi.v[2];
+    };
+
+    struct Item {
+        int64_t node;
+        std::vector<SRef> refs;
+        Box box;            // this node's stored box
+    };
+
+    int64_t node_count = 1;
+    int64_t ref_cursor = 0;
+    set_box(0, root);
+
+    std::vector<Item> stack;
+    stack.push_back({0, std::move(root_refs), root});
+
+    while (!stack.empty()) {
+        Item it = std::move(stack.back());
+        stack.pop_back();
+        const int64_t idx = it.node;
+        std::vector<SRef>& refs = it.refs;
+        const int64_t count = (int64_t)refs.size();
+
+        auto make_leaf = [&]() {
+            out_leaf_start[idx] = (int32_t)ref_cursor;
+            out_leaf_count[idx] = (int32_t)count;
+            out_left[idx] = 0;
+            for (const SRef& r : refs) out_perm[ref_cursor++] = r.tri;
+        };
+        if (count <= LEAF_SIZE) { make_leaf(); continue; }
+
+        // ---- object split candidate: binned SAH over ref-box centers ----
+        Box cen = Box::insideOut();
+        for (const SRef& r : refs) {
+            F4 c;
+            for (int j = 0; j < 3; j++)
+                c.v[j] = 0.5f * (r.box.lo.v[j] + r.box.hi.v[j]);
+            c.v[3] = 0.0f;
+            F4 cl = c, ch = c;
+            cl.v[3] = INF;
+            ch.v[3] = -INF;
+            cen.lo.mins(cl);
+            cen.hi.maxs(ch);
+        }
+        float ext[3];
+        for (int j = 0; j < 3; j++) ext[j] = cen.hi.v[j] - cen.lo.v[j];
+        int oaxis = 2;
+        if (ext[0] > ext[1] && ext[0] > ext[2]) oaxis = 0;
+        else if (ext[1] > ext[0] && ext[1] > ext[2]) oaxis = 1;
+        const float obmin = cen.lo.v[oaxis], obmax = cen.hi.v[oaxis];
+
+        const double inv_parent = 1.0 / std::max((double)it.box.area(), 1e-30);
+        double best_obj = std::numeric_limits<double>::infinity();
+        int obj_k = -1;
+        Box obins[K];
+        int64_t ocnt[K] = {0};
+        if (obmax - obmin >= K * FEPS) {
+            for (int k = 0; k < K; k++) obins[k] = Box::insideOut();
+            const float fac = K * (1.0f - FEPS) / (obmax - obmin);
+            for (const SRef& r : refs) {
+                float c = 0.5f * (r.box.lo.v[oaxis] + r.box.hi.v[oaxis]);
+                int b = (int)((c - obmin) * fac);
+                if (b < 0) b = 0;
+                if (b >= K) b = K - 1;
+                ocnt[b]++;
+                obins[b].grow(r.box);
+            }
+            double lc_[K], rc_[K];
+            Box lb = Box::insideOut(), rb = Box::insideOut();
+            int64_t lc = 0, rc = 0;
+            for (int k = 0; k < K; k++) {
+                lc_[k] = lc ? lc * lb.area() * inv_parent : 0.0;
+                lb.grow(obins[k]);
+                lc += ocnt[k];
+                rb.grow(obins[K - k - 1]);
+                rc += ocnt[K - k - 1];
+                rc_[K - k - 1] = rc * rb.area() * inv_parent;
+            }
+            for (int k = 1; k < K; k++) {
+                double sah = lc_[k] + rc_[k] + FEPS;
+                if (sah < best_obj) { best_obj = sah; obj_k = k; }
+            }
+            // reject degenerate cuts (all refs one side)
+            int64_t bl = 0;
+            if (obj_k > 0) {
+                for (int k = 0; k < obj_k; k++) bl += ocnt[k];
+                if (bl == 0 || bl == count) obj_k = -1;
+            }
+        }
+
+        // ---- spatial split candidate (gated on child overlap) ----
+        double best_sp = std::numeric_limits<double>::infinity();
+        int sp_k = -1, saxis = -1;
+        float s_lo = 0, s_w = 0;
+        bool try_spatial = budget > 0;
+        if (try_spatial && obj_k > 0) {
+            Box lb = Box::insideOut(), rb = Box::insideOut();
+            for (int k = 0; k < obj_k; k++) lb.grow(obins[k]);
+            for (int k = obj_k; k < K; k++) rb.grow(obins[k]);
+            Box ov = box_intersect(lb, rb);
+            try_spatial = !box_empty(ov)
+                && (double)ov.area() > alpha * root_area;
+        }
+        if (try_spatial) {
+            for (int ax = 0; ax < 3; ax++) {
+                const float a_lo = it.box.lo.v[ax];
+                const float a_hi = it.box.hi.v[ax];
+                if (a_hi - a_lo < K * FEPS) continue;
+                const float a_w = (a_hi - a_lo) / K;
+                Box sbins[K];
+                int64_t enter[K] = {0}, exit_[K] = {0};
+                for (int k = 0; k < K; k++) sbins[k] = Box::insideOut();
+                const float inv_w = 1.0f / a_w;
+                for (const SRef& r : refs) {
+                    int b0 = (int)((r.box.lo.v[ax] - a_lo) * inv_w);
+                    int b1 = (int)((r.box.hi.v[ax] - a_lo) * inv_w);
+                    if (b0 < 0) b0 = 0;
+                    if (b0 >= K) b0 = K - 1;
+                    if (b1 < b0) b1 = b0;
+                    if (b1 >= K) b1 = K - 1;
+                    enter[b0]++;
+                    exit_[b1]++;
+                    if (b0 == b1) {
+                        sbins[b0].grow(r.box);
+                    } else {
+                        const float* A = v0 + 3 * r.tri;
+                        const float* Bv = v1 + 3 * r.tri;
+                        const float* Cv = v2 + 3 * r.tri;
+                        for (int k = b0; k <= b1; k++) {
+                            Box cb = clip_tri_slab(
+                                A, Bv, Cv, ax,
+                                a_lo + k * a_w, a_lo + (k + 1) * a_w);
+                            cb = box_intersect(cb, r.box);
+                            if (!box_empty(cb)) sbins[k].grow(cb);
+                        }
+                    }
+                }
+                Box lsw[K], rsw[K];
+                Box lb = Box::insideOut(), rb = Box::insideOut();
+                for (int k = 0; k < K; k++) {
+                    lb.grow(sbins[k]);
+                    lsw[k] = lb;
+                    rb.grow(sbins[K - k - 1]);
+                    rsw[K - k - 1] = rb;
+                }
+                int64_t nl = 0, nr = count;
+                for (int k = 1; k < K; k++) {
+                    nl += enter[k - 1];
+                    nr -= exit_[k - 1];
+                    // straddlers (entry < k <= exit) count on BOTH sides
+                    const int64_t cl = nl, cr = nr;
+                    if (cl == 0 || cr == 0) continue;
+                    double sah = (cl * lsw[k - 1].area()
+                                  + cr * rsw[k].area()) * inv_parent + FEPS;
+                    if (sah < best_sp) {
+                        best_sp = sah;
+                        sp_k = k;
+                        saxis = ax;
+                        s_lo = a_lo;
+                        s_w = a_w;
+                    }
+                }
+            }
+        }
+
+        // ---- choose & partition ----
+        const int64_t c1 = node_count;
+        if (sp_k > 0 && best_sp < best_obj
+            && (obj_k > 0 || best_sp < (double)count)) {
+            const float plane = s_lo + sp_k * s_w;
+            std::vector<SRef> L, R;
+            L.reserve((size_t)count);
+            R.reserve((size_t)count);
+            Box lbox = Box::insideOut(), rbox = Box::insideOut();
+            int64_t dups = 0;
+            for (const SRef& r : refs) {
+                if (r.box.hi.v[saxis] <= plane) {
+                    L.push_back(r);
+                    lbox.grow(r.box);
+                } else if (r.box.lo.v[saxis] >= plane) {
+                    R.push_back(r);
+                    rbox.grow(r.box);
+                } else if (dups < budget) {
+                    const float* A = v0 + 3 * r.tri;
+                    const float* Bv = v1 + 3 * r.tri;
+                    const float* Cv = v2 + 3 * r.tri;
+                    Box bl = box_intersect(
+                        clip_tri_slab(A, Bv, Cv, saxis, -INF, plane), r.box);
+                    Box br = box_intersect(
+                        clip_tri_slab(A, Bv, Cv, saxis, plane, INF), r.box);
+                    if (box_empty(bl)) {
+                        R.push_back(r);
+                        rbox.grow(r.box);
+                    } else if (box_empty(br)) {
+                        L.push_back(r);
+                        lbox.grow(r.box);
+                    } else {
+                        L.push_back({r.tri, bl});
+                        R.push_back({r.tri, br});
+                        lbox.grow(bl);
+                        rbox.grow(br);
+                        dups++;
+                    }
+                } else {
+                    // budget exhausted: unsplit to the nearer side
+                    const float c = 0.5f * (r.box.lo.v[saxis]
+                                            + r.box.hi.v[saxis]);
+                    if (c < plane) {
+                        L.push_back(r);
+                        lbox.grow(r.box);
+                    } else {
+                        R.push_back(r);
+                        rbox.grow(r.box);
+                    }
+                }
+            }
+            if (!L.empty() && !R.empty()
+                && (int64_t)L.size() < count + dups
+                && (int64_t)R.size() < count + dups
+                && node_count + 2 <= max_nodes) {
+                budget -= dups;
+                node_count += 2;
+                set_box(c1, lbox);
+                set_box(c1 + 1, rbox);
+                out_left[idx] = (int32_t)c1;
+                out_leaf_count[idx] = 0;
+                out_leaf_start[idx] = 0;
+                refs.clear();
+                refs.shrink_to_fit();
+                stack.push_back({c1 + 1, std::move(R), rbox});
+                stack.push_back({c1, std::move(L), lbox});
+                continue;
+            }
+            // degenerate spatial outcome: fall through to object/median
+        }
+
+        std::vector<SRef> L, R;
+        Box lbox = Box::insideOut(), rbox = Box::insideOut();
+        if (obj_k > 0) {
+            const float fac = K * (1.0f - FEPS) / (obmax - obmin);
+            for (const SRef& r : refs) {
+                float c = 0.5f * (r.box.lo.v[oaxis] + r.box.hi.v[oaxis]);
+                int b = (int)((c - obmin) * fac);
+                if (b < 0) b = 0;
+                if (b >= K) b = K - 1;
+                if (b < obj_k) {
+                    L.push_back(r);
+                    lbox.grow(r.box);
+                } else {
+                    R.push_back(r);
+                    rbox.grow(r.box);
+                }
+            }
+        }
+        if (obj_k <= 0 || L.empty() || R.empty()) {
+            // median split on ref-box centers
+            L.clear();
+            R.clear();
+            lbox = Box::insideOut();
+            rbox = Box::insideOut();
+            std::vector<SRef> tmp = refs;
+            std::nth_element(
+                tmp.begin(), tmp.begin() + (size_t)(count / 2), tmp.end(),
+                [&](const SRef& a, const SRef& b) {
+                    return a.box.lo.v[oaxis] + a.box.hi.v[oaxis]
+                         < b.box.lo.v[oaxis] + b.box.hi.v[oaxis];
+                });
+            for (int64_t i = 0; i < count; i++) {
+                if (i < count / 2) {
+                    L.push_back(tmp[(size_t)i]);
+                    lbox.grow(tmp[(size_t)i].box);
+                } else {
+                    R.push_back(tmp[(size_t)i]);
+                    rbox.grow(tmp[(size_t)i].box);
+                }
+            }
+        }
+        if (node_count + 2 > max_nodes) { make_leaf(); continue; }
+        node_count += 2;
+        set_box(c1, lbox);
+        set_box(c1 + 1, rbox);
+        out_left[idx] = (int32_t)c1;
+        out_leaf_count[idx] = 0;
+        out_leaf_start[idx] = 0;
+        refs.clear();
+        refs.shrink_to_fit();
+        stack.push_back({c1 + 1, std::move(R), rbox});
+        stack.push_back({c1, std::move(L), lbox});
+    }
+
+    *out_nrefs = ref_cursor;
+    return node_count;
+}

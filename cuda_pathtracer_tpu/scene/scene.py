@@ -121,6 +121,12 @@ class Scene:
         self._bitangent = np.zeros((0, 3), np.float32)
         self._uv = np.zeros((0, 6), np.float32)
         self._tri_mat = np.zeros((0,), np.int32)
+        # SBVH duplicate-reference mask: True for 2nd+ stored occurrences of
+        # a source triangle (spatial splits reference a straddling triangle
+        # from several leaves). Light extraction skips them so each emissive
+        # triangle appears in the light list ONCE, like the reference's
+        # unique-triangle scan (src/pathtracer.h:154-170).
+        self._tri_dup = np.zeros((0,), bool)
         self._version = 0          # bumped whenever dynamic state changes
         self._dyn_cache = None     # (version, DynamicArrays)
         self._refit_templates = None   # accel/refit.py model-space tables
@@ -325,9 +331,20 @@ class Scene:
         self._bitangent = np.concatenate([self._bitangent, bitangent[perm]])
         self._uv = np.concatenate([self._uv, uv6[perm]])
         self._tri_mat = np.concatenate([self._tri_mat, tri_materials[perm]])
+        # SBVH builds may reference a triangle from several leaves: perm then
+        # holds n_refs >= nt entries. Mark 2nd+ occurrences so the light list
+        # stays one-entry-per-source-triangle.
+        n_refs = len(perm)
+        if n_refs != nt:
+            _, first = np.unique(perm, return_index=True)
+            dup = np.ones(n_refs, bool)
+            dup[first] = False
+        else:
+            dup = np.zeros(nt, bool)
+        self._tri_dup = np.concatenate([self._tri_dup, dup])
         from ..accel.wide import build_wide_bvh
         wide = build_wide_bvh(nodes, v0[perm], v1[perm], v2[perm])
-        self.models.append(Model(start, nt, thread_bvh(nodes), wide))
+        self.models.append(Model(start, n_refs, thread_bvh(nodes), wide))
         return len(self.models) - 1
 
     # ------------------------------------------------------------------
@@ -399,6 +416,8 @@ class Scene:
                 mat = np.full(c, overrides[i], np.int32)
             em = emis[mat]
             sel = em.max(axis=1) >= EPS
+            # SBVH duplicate refs must not multiply a light's pick weight
+            sel &= ~self._tri_dup[s:s + c]
             idx = np.nonzero(sel)[0]
             tris.append(idx.astype(np.int32) + s)
             insts.append(np.full(len(idx), i, np.int32))
