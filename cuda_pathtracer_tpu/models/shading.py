@@ -176,6 +176,19 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     else:
         # drop tangent/bitangent (old 14:20) and the pad
         want = [0, 1] + verts + list(range(11, 14)) + list(range(20, 27))
+    # Pad narrow programs to >=8 gathered columns with real neighbor cols:
+    # XLA's row-gather emitter falls off a cliff below 8 columns (a [T,2]
+    # gather costs 194 ms where the SAME table padded to 16 costs 0.80 ms,
+    # tools/cache_gather_bench.py w2 vs w2of16) — the cache_on+barycentric
+    # program reads only gid|inst and was paying ~13.7 ms/bounce for it
+    # (tools/fusion_attrib.py fusion.1664). The extra columns are unused
+    # (and unread: scalar col picks below), they only move the gather onto
+    # the wide fast path.
+    pad_col = 11
+    while len(want) < 8 and pad_col < 27:
+        if pad_col not in want:
+            want.append(pad_col)
+        pad_col += 1
     # contiguous pieces of `want`, rotated so the first piece doesn't start
     # at column 0 (the swap requirement above)
     want = sorted(want)

@@ -60,6 +60,8 @@ def bench(name, width, sort_idx=False, keep8=False):
           f'({L * width * 4 / dt / 1e6:.1f} GB/s out)')
 
 
+bench('w2', 2)
+bench('w2of16', 16, keep8=True)   # keep8 keeps [:, :8]; close enough: pad-only
 bench('w8', 8)
 bench('w8s', 8, sort_idx=True)
 bench('w16', 16)
