@@ -168,14 +168,25 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # folded back into the HBM parameter by the algebraic simplifier).
     has_nmap = int(scene.nmap_marker.shape[0]) > 0
     have_uv = hit.u is not None
+    # pid -> (gid, inst) by ARITHMETIC when the scene's world tris are few
+    # contiguous per-instance blocks (always true by construction,
+    # accel/toplevel.py emit; gate on block count so the unrolled chain
+    # stays tiny): gid = pid + delta(block), inst = inst(block). This
+    # removes cols 0|1 from the gather below entirely — the [WT,2] form ran
+    # from HBM at ~13.7 ms/bounce at 829k lanes (tools/fusion_attrib.py
+    # fusion.1664) and padding it wider didn't change its placement.
+    blocks = getattr(dyn, 'tri_blocks', None)
+    n_blocks = int(blocks.shape[0]) if blocks is not None else 0
+    use_decode = 1 <= n_blocks <= 64
+    gi_cols = [] if use_decode else [0, 1]
     verts = [] if have_uv else list(range(2, 11))
     if cache_on:
-        want = [0, 1] + verts
+        want = gi_cols + verts
     elif has_nmap:
-        want = [0, 1] + verts + list(range(11, 27))
+        want = gi_cols + verts + list(range(11, 27))
     else:
         # drop tangent/bitangent (old 14:20) and the pad
-        want = [0, 1] + verts + list(range(11, 14)) + list(range(20, 27))
+        want = gi_cols + verts + list(range(11, 14)) + list(range(20, 27))
     # Pad narrow programs to >=8 gathered columns with real neighbor cols:
     # XLA's row-gather emitter falls off a cliff below 8 columns (a [T,2]
     # gather costs 194 ms where the SAME table padded to 16 costs 0.80 ms,
@@ -184,36 +195,53 @@ def shade(scene, dyn, ro, rd, hit: Hit, state: TraceState, ray_active,
     # (tools/fusion_attrib.py fusion.1664). The extra columns are unused
     # (and unread: scalar col picks below), they only move the gather onto
     # the wide fast path.
-    pad_col = 11
-    while len(want) < 8 and pad_col < 27:
-        if pad_col not in want:
-            want.append(pad_col)
-        pad_col += 1
-    # contiguous pieces of `want`, rotated so the first piece doesn't start
-    # at column 0 (the swap requirement above)
-    want = sorted(want)
-    pieces, start = [], want[0]
-    for a, b in zip(want, want[1:] + [None]):
-        if b != a + 1:
-            pieces.append((start, a + 1))
-            start = b
-    if len(pieces) > 1:
-        pieces = pieces[1:] + pieces[:1]
-    elif pieces[0][0] == 0:
-        # single contiguous run from col 0: split and swap the halves so the
-        # simplifier can't fold the concat back into the raw parameter
-        a, b = pieces[0]
-        mid = a + (b - a + 1) // 2
-        pieces = [(mid, b), (a, mid)]
-    cols = [c for (a, b) in pieces for c in range(a, b)]
-    _pos = {c: i for i, c in enumerate(cols)}
-    tm_tab = jnp.concatenate([tm[:, a:b] for a, b in pieces], axis=1)
-    tri_meta = tm_tab[pid]                 # f32[B, len(cols)]
-    # SCALAR column picks only (block slices push XLA to the slow
-    # row-major gather emitter, tools/gather_layout_probe.py)
-    mcol = lambda j: tri_meta[..., _pos[j]]  # noqa: E731
-    gid = jnp.maximum(mcol(0).astype(jnp.int32), 0)
-    inst = jnp.maximum(mcol(1).astype(jnp.int32), 0)
+    if want:
+        pad_col = 11
+        while len(want) < 8 and pad_col < 27:
+            if pad_col not in want:
+                want.append(pad_col)
+            pad_col += 1
+        # contiguous pieces of `want`, rotated so the first piece doesn't
+        # start at column 0 (the swap requirement above)
+        want = sorted(want)
+        pieces, start = [], want[0]
+        for a, b in zip(want, want[1:] + [None]):
+            if b != a + 1:
+                pieces.append((start, a + 1))
+                start = b
+        if len(pieces) > 1:
+            pieces = pieces[1:] + pieces[:1]
+        else:
+            # single contiguous run: split and swap the halves so the
+            # simplifier can't fold the concat back into the raw parameter
+            a, b = pieces[0]
+            mid = a + (b - a + 1) // 2
+            pieces = [(mid, b), (a, mid)]
+        cols = [c for (a, b) in pieces for c in range(a, b)]
+        _pos = {c: i for i, c in enumerate(cols)}
+        tm_tab = jnp.concatenate([tm[:, a:b] for a, b in pieces], axis=1)
+        tri_meta = tm_tab[pid]             # f32[B, len(cols)]
+        # SCALAR column picks only (block slices push XLA to the slow
+        # row-major gather emitter, tools/gather_layout_probe.py)
+        mcol = lambda j: tri_meta[..., _pos[j]]  # noqa: E731
+    else:
+        mcol = None                        # decode covers every wanted col
+    if use_decode:
+        # unrolled compare/select over the sorted block bases; pid < 2^24 so
+        # the f32 compares and the pid+delta sum are exact
+        bi, ii, dd = blocks[:, 0], blocks[:, 1], blocks[:, 2]
+        pidf = pid.astype(jnp.float32)
+        instf = jnp.broadcast_to(ii[0], pid.shape)
+        deltaf = jnp.broadcast_to(dd[0], pid.shape)
+        for k in range(1, n_blocks):
+            ge = pidf >= bi[k]
+            instf = jnp.where(ge, ii[k], instf)
+            deltaf = jnp.where(ge, dd[k], deltaf)
+        gid = (pidf + deltaf).astype(jnp.int32)
+        inst = instf.astype(jnp.int32)
+    else:
+        gid = jnp.maximum(mcol(0).astype(jnp.int32), 0)
+        inst = jnp.maximum(mcol(1).astype(jnp.int32), 0)
     is_tri = live & (hit.prim_type == PRIM_TRIANGLE)
     is_sphere = live & (hit.prim_type == PRIM_SPHERE)
     is_plane = live & (hit.prim_type == PRIM_PLANE)

@@ -126,6 +126,15 @@ class DynamicArrays(NamedTuple):
     packet_merged: jnp.ndarray   # f32[NM, 128]
     # world bounds for morton ray-sort keys, f32[2, 3] (min | extent)
     bounds: jnp.ndarray
+    # per-instance world-tri block map, f32[I, 3] rows sorted by block base:
+    # (base=wtri_base, inst, delta=model_tri_start-base). World triangles are
+    # per-instance CONTIGUOUS blocks preserving model order
+    # (accel/toplevel.py::build_world_bvh emit), so shade recovers
+    # gid = pid + delta and inst by an unrolled compare/select chain over
+    # these rows instead of the [WT,2] tri_meta gather (which runs from HBM
+    # at ~13.7 ms/bounce at 829k lanes when MSA's VMEM budget is exhausted,
+    # tools/fusion_attrib.py fusion.1664). Values < 2^24: f32-exact.
+    tri_blocks: jnp.ndarray
 
 
 def material_id_of(scene: SceneArrays, dyn: DynamicArrays, gid, inst):

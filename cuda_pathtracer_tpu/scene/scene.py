@@ -660,6 +660,19 @@ class Scene:
         else:
             tri_meta = np.zeros((0, 32), np.float32)
 
+        # per-instance world-tri block map for shade's arithmetic
+        # pid -> (gid, inst) decode (see DynamicArrays.tri_blocks)
+        if self.objects:
+            bases = np.asarray(wb.wtri_base, np.int64)
+            starts = np.array([self.models[o.model_id].triangle_start
+                               for o in self.objects], np.int64)
+            order = np.argsort(bases, kind='stable')
+            tri_blocks = np.stack(
+                [bases[order], order.astype(np.int64),
+                 starts[order] - bases[order]], axis=1).astype(np.float32)
+        else:
+            tri_blocks = np.zeros((0, 3), np.float32)
+
         dyn = DynamicArrays(world,
                             jnp.asarray(transforms), jnp.asarray(inverses),
                             jnp.asarray(overrides),
@@ -673,7 +686,8 @@ class Scene:
                             jnp.asarray(inst_packed),
                             jnp.asarray(tri_meta),
                             packet_inner, packet_leaf, packet_merged,
-                            jnp.asarray(bounds, jnp.float32))
+                            jnp.asarray(bounds, jnp.float32),
+                            jnp.asarray(tri_blocks))
         self._dyn_cache = (self._version, dyn)
         self._full_dyn = dyn
         return dyn
