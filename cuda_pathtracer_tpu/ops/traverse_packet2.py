@@ -50,6 +50,11 @@ from .traverse_packet import (PACKET, RAY_ROWS, BIG, DONE, MT_DET_EPS,
 
 NPK = int(__import__('os').environ.get('CPT_NPK2', '2'))
 PPC = int(__import__('os').environ.get('CPT_PPC2', '8'))
+# sort-permute A/B knobs (PERF.md round 5, second session): compact 8-col
+# trace-input permute, and the scatter form of the hit unpermute
+_M8_PERMUTE = __import__('os').environ.get('CPT_M8', '1') != '0'
+_UNPERM_SCATTER = __import__('os').environ.get(
+    'CPT_UNPERM_SCATTER', '0') != '0'
 
 # merged-row lane layout: inner rows keep boxes at [0:96] and carry ONE meta
 # word; leaf rows keep the v1 leaf layout (tris at [0:108], gids [108:120])
@@ -1125,14 +1130,36 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
         stop_on_hit = jnp.full((B,), bool(any_hit))
     live = active & ~(stop_on_hit & found0)
 
-    inv = isect.safe_inv_dir(rd)
-    M = jnp.concatenate([
-        ro, rd, inv, t0[:, None],
-        live.astype(jnp.float32)[:, None],
-        stop_on_hit.astype(jnp.float32)[:, None],
-        ro * inv, jnp.zeros_like(t0)[:, None]], axis=1)
-    if order is not None:
-        M = M[order]
+    if order is not None and _M8_PERMUTE:
+        # Permute the COMPACT 8-col ray record (ro, rd, t0, live+2*stop) and
+        # derive inv / ro*inv AFTER the permute: the sort permute is a
+        # row-priced semi-coherent HBM gather, so halving the gathered row
+        # from 64 B ([L,16]) to 32 B and rebuilding the derived columns with
+        # elementwise ops (which fuse into the rays-layout copy) cuts the
+        # permute's memory traffic in half. Bit-identical: safe_inv_dir and
+        # ro*inv run on the same f32 bits either side of the permute, and
+        # the live+2*stop flag packing round-trips {0,1,2,3} exactly.
+        flags = (live.astype(jnp.float32)
+                 + 2.0 * stop_on_hit.astype(jnp.float32))
+        M8 = jnp.concatenate([ro, rd, t0[:, None], flags[:, None]], axis=1)
+        M8 = M8[order]
+        ro_s, rd_s, t0_s = M8[:, 0:3], M8[:, 3:6], M8[:, 6]
+        stop_f = (M8[:, 7] >= 2.0).astype(jnp.float32)
+        live_f = M8[:, 7] - 2.0 * stop_f
+        inv_s = isect.safe_inv_dir(rd_s)
+        M = jnp.concatenate([
+            ro_s, rd_s, inv_s, t0_s[:, None], live_f[:, None],
+            stop_f[:, None], ro_s * inv_s,
+            jnp.zeros_like(t0_s)[:, None]], axis=1)
+    else:
+        inv = isect.safe_inv_dir(rd)
+        M = jnp.concatenate([
+            ro, rd, inv, t0[:, None],
+            live.astype(jnp.float32)[:, None],
+            stop_on_hit.astype(jnp.float32)[:, None],
+            ro * inv, jnp.zeros_like(t0)[:, None]], axis=1)
+        if order is not None:
+            M = M[order]
 
     lanes_per_g = PACKET * NPK * PPC
     Bp = -(-B // lanes_per_g) * lanes_per_g
@@ -1152,7 +1179,18 @@ def traverse_packet2(scene, table: MergedTable, ro, rd, t_max=None,
     outk = outk.reshape(-1, OUT, PACKET)
     O = jnp.swapaxes(outk, -1, -2).reshape(-1, OUT)[:B]
     if order is not None:
-        O = O[jnp.argsort(order)]
+        if _UNPERM_SCATTER:
+            # Inverse-permute by SCATTER (int32-bitcast so the gid bit
+            # patterns — denormal f32 for every gid < 2^23 — can't be
+            # flushed by a float emitter). MEASURED SLOWER than the
+            # argsort+gather form in the engine (XLA TPU scatter at 829k
+            # random rows is the same pathology ops/guiding_scatter.py was
+            # built to avoid); kept only as an A/B knob.
+            Oi = jax.lax.bitcast_convert_type(O, jnp.int32)
+            Oi = jnp.zeros_like(Oi).at[order].set(Oi)
+            O = jax.lax.bitcast_convert_type(Oi, jnp.float32)
+        else:
+            O = O[jnp.argsort(order)]
     tk = O[:, 0]
     gidk = jax.lax.bitcast_convert_type(O[:, 1], jnp.int32)
     hitk = O[:, 2] != 0
